@@ -1,0 +1,23 @@
+"""Host-side data: readers, alignment, splits, batching, synthetic fixtures."""
+
+from multimodal_eeg_fmri_tpu.data.arrays import (
+    balanced_class_weights,
+    pad_rows,
+    stack_trees,
+    subset,
+)
+from multimodal_eeg_fmri_tpu.data.synthetic import (
+    synthetic_eeg_trimodal,
+    synthetic_fmri,
+    synthetic_bridge,
+)
+
+__all__ = [
+    "balanced_class_weights",
+    "pad_rows",
+    "stack_trees",
+    "subset",
+    "synthetic_eeg_trimodal",
+    "synthetic_fmri",
+    "synthetic_bridge",
+]

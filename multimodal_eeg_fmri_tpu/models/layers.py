@@ -1,0 +1,206 @@
+"""Shared model building blocks (flax.linen).
+
+Layout convention: all temporal tensors are **channels-last** ``(batch, time,
+features)`` — the TPU-native layout (features on the 128-lane dim, convs and
+matmuls tile straight onto the MXU). The reference uses torch's
+channels-first ``(B, C, T)``; loaders transpose at ingest.
+
+Blocks mirror the reference inventory (SURVEY §2.2):
+- ``PositionalEncoding``  — sinusoidal PE (``crossmodal_v4_enhancements.py:29-50``)
+- ``MultiHeadAttention``  — torch ``nn.MultiheadAttention``-equivalent that
+  also returns head-averaged attention weights (needed by the XAI suite)
+- ``TransformerBlock``    — pre-norm MHA + GELU FFN
+  (``crossmodal_v4_enhancements.py:53-86``)
+- ``DropPath``            — stochastic depth (``:639-658``)
+- ``MLP`` / ``mlp_head``  — Linear+Norm+GELU+Dropout stacks used by every
+  classifier head and conn encoder in the reference
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sinusoidal_position_encoding(length: int, d_model: int,
+                                 dtype=jnp.float32) -> jnp.ndarray:
+    """(length, d_model) sinusoidal table; matches the reference formula."""
+    position = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32)
+        * (-math.log(10000.0) / d_model)
+    )
+    angles = position * div_term  # (length, ceil(d_model/2))
+    pe = jnp.zeros((length, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles)[:, : (d_model + 1) // 2])
+    pe = pe.at[:, 1::2].set(jnp.cos(angles)[:, : d_model // 2])
+    return pe.astype(dtype)
+
+
+class PositionalEncoding(nn.Module):
+    """Add sinusoidal PE along the time axis, then dropout.
+
+    The table is a compile-time constant folded by XLA (not a param); the
+    reference registers it as a buffer with max_len 5000.
+    """
+
+    d_model: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        # x: (B, T, D)
+        pe = sinusoidal_position_encoding(x.shape[1], self.d_model, x.dtype)
+        x = x + pe[None, :, :]
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention returning (output, attn_weights).
+
+    Equivalent in parameterization to torch ``nn.MultiheadAttention``
+    (separate q/k/v input projections + output projection, weights averaged
+    over heads on return). Attention dropout applies to the probabilities.
+    Sequences here are short (2-3 modality tokens, or ≲250 post-conv
+    timesteps), so the einsum form compiles to MXU matmuls directly; long
+    sequences route through ``ops.attention.flash_attention``.
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, Tq, D)
+        key: jnp.ndarray,    # (B, Tk, D)
+        value: jnp.ndarray,  # (B, Tk, D)
+        *,
+        train: bool = False,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        d_model = query.shape[-1]
+        assert d_model % self.num_heads == 0, "d_model must divide num_heads"
+        head_dim = d_model // self.num_heads
+
+        def proj(name):
+            return nn.DenseGeneral(
+                features=(self.num_heads, head_dim), axis=-1, name=name
+            )
+
+        q = proj("q_proj")(query)  # (B, Tq, H, hd)
+        k = proj("k_proj")(key)
+        v = proj("v_proj")(value)
+
+        scale = 1.0 / math.sqrt(head_dim)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = nn.DenseGeneral(features=d_model, axis=(-2, -1), name="out_proj")(out)
+        # torch returns attention averaged over heads
+        return out, jnp.mean(probs, axis=1)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm transformer block: LN → MHA → residual; LN → FFN → residual.
+
+    Mirrors ``TemporalTransformerBlock`` (GELU FFN of width 4·d_model).
+    """
+
+    d_model: int
+    num_heads: int = 4
+    dim_feedforward: int = 0  # 0 → 4*d_model
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        ff = self.dim_feedforward or 4 * self.d_model
+        y = nn.LayerNorm(name="norm1")(x)
+        y, _ = MultiHeadAttention(self.num_heads, self.dropout, name="attn")(
+            y, y, y, train=train
+        )
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
+
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(ff, name="ffn1")(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(self.d_model, name="ffn2")(y)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (reference ``DropPath``)."""
+
+    drop_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        if self.drop_prob == 0.0 or not train:
+            return x
+        keep = 1.0 - self.drop_prob
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+        return x / keep * mask
+
+
+class MLP(nn.Module):
+    """Dense → norm → act → dropout stack.
+
+    ``norm`` ∈ {"batch", "layer", "none"}; BatchNorm uses flax batch_stats
+    (the reference's heads/encoders are BN-heavy — SURVEY §7 hard parts).
+    """
+
+    features: Sequence[int]
+    dropout: float = 0.0
+    norm: str = "batch"
+    activation: Callable = nn.gelu
+    final_activation: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        n = len(self.features)
+        for i, feat in enumerate(self.features):
+            x = nn.Dense(feat, name=f"dense_{i}")(x)
+            is_last = i == n - 1
+            if not is_last or self.final_activation:
+                if self.norm == "batch":
+                    x = nn.BatchNorm(
+                        use_running_average=not train, name=f"bn_{i}"
+                    )(x)
+                elif self.norm == "layer":
+                    x = nn.LayerNorm(name=f"ln_{i}")(x)
+                x = self.activation(x)
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class ClassifierHead(nn.Module):
+    """The reference's classifier-head pattern: hidden layers with
+    norm/GELU/dropout, final Linear to num_classes with no norm/act."""
+
+    hidden: Sequence[int]
+    num_classes: int
+    dropout: float = 0.3
+    norm: str = "batch"
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        x = MLP(
+            features=tuple(self.hidden),
+            dropout=self.dropout,
+            norm=self.norm,
+            activation=self.activation,
+            name="hidden",
+        )(x, train=train)
+        return nn.Dense(self.num_classes, name="out")(x)

@@ -1,0 +1,23 @@
+"""Compute primitives: losses, schedules, attention, signal processing."""
+
+from multimodal_eeg_fmri_tpu.ops.losses import (
+    cross_entropy,
+    focal_loss,
+    label_smoothing_cross_entropy,
+    weighted_cross_entropy,
+    mse_loss,
+)
+from multimodal_eeg_fmri_tpu.ops.schedules import (
+    warmup_cosine_schedule,
+    ReduceLROnPlateau,
+)
+
+__all__ = [
+    "cross_entropy",
+    "focal_loss",
+    "label_smoothing_cross_entropy",
+    "weighted_cross_entropy",
+    "mse_loss",
+    "warmup_cosine_schedule",
+    "ReduceLROnPlateau",
+]

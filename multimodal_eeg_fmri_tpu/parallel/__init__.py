@@ -1,0 +1,33 @@
+"""Device mesh, shardings and collective helpers.
+
+The reference has no distributed execution at all (SURVEY §2.3); this package
+is the TPU-native equivalent the rebuild owns explicitly: a single module
+constructs the mesh, names the axes, and wraps the collectives, so every
+other subsystem is mesh-agnostic.
+"""
+
+from multimodal_eeg_fmri_tpu.parallel.mesh import (
+    MeshPlan,
+    build_mesh,
+    batch_sharding,
+    ensemble_sharding,
+    replicated,
+    shard_batch,
+)
+from multimodal_eeg_fmri_tpu.parallel.collectives import (
+    pmean_grads,
+    psum,
+    all_gather,
+)
+
+__all__ = [
+    "MeshPlan",
+    "build_mesh",
+    "batch_sharding",
+    "ensemble_sharding",
+    "replicated",
+    "shard_batch",
+    "pmean_grads",
+    "psum",
+    "all_gather",
+]

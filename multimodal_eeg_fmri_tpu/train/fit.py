@@ -1,0 +1,340 @@
+"""Whole-run compiled training.
+
+The reference's L3/L4 training loop (``FlexibleTrainer`` +
+epoch-loop-with-early-stopping, ``CrossModal_EEG_scr.ipynb §23,30``) is a
+Python loop doing per-batch host→device transfers, per-epoch sklearn metric
+syncs, and ``copy.deepcopy`` best-state checkpointing. On TPU that pattern is
+latency-bound: the models are ~1M params and batches are 8 rows, so each step
+is microseconds of compute and milliseconds of dispatch.
+
+Here the ENTIRE training run — epoch loop, batch loop, shuffling, metric
+evaluation, best-state tracking, plateau LR control, early-stopping gates —
+is one ``lax.scan`` compiled under ``jit``:
+
+- datasets are HBM-resident arrays (the whole cohort is < 1 MB);
+- per-epoch shuffling is ``jax.random.permutation`` on device;
+- eval metrics (accuracy/F1/AUC) are jnp (report/metrics.py), so model
+  selection never syncs to host;
+- "checkpoint best state" is a ``tree_map(where(improved, new, best))`` —
+  a register select instead of a deepcopy;
+- early stopping keeps the epoch count static (required for one compiled
+  graph) but freezes optimizer/params once patience is exhausted —
+  numerically identical selected model to the reference's break.
+
+The resulting ``fit`` is a pure function of (rng, data, class_weights), so
+cross-validation folds / HPO trials / ensemble members ``vmap`` over it
+(train/cv.py) and shard over the mesh's ensemble axis.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+from multimodal_eeg_fmri_tpu.ops.losses import make_loss_fn
+from multimodal_eeg_fmri_tpu.report.metrics import (
+    binary_classification_metrics,
+    regression_metrics,
+)
+
+# batch keys that are not model inputs
+RESERVED_KEYS = ("label", "reg_label", "weight", "subject")
+
+
+def split_batch(batch: Dict[str, jnp.ndarray]):
+    inputs = {k: v for k, v in batch.items() if k not in RESERVED_KEYS}
+    return inputs
+
+
+class FitResult(NamedTuple):
+    params: Any            # best params (selection metric)
+    batch_stats: Any       # best batch_stats (possibly empty dict)
+    final_params: Any      # last-epoch params
+    final_batch_stats: Any
+    best_metric: jnp.ndarray
+    best_epoch: jnp.ndarray
+    history: Dict[str, jnp.ndarray]  # per-epoch series, each (num_epochs,)
+
+
+@struct.dataclass
+class _Carry:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jnp.ndarray
+    best_params: Any
+    best_batch_stats: Any
+    best_metric: jnp.ndarray
+    best_epoch: jnp.ndarray
+    bad_epochs: jnp.ndarray     # early-stopping counter
+    stopped: jnp.ndarray        # bool
+    plateau_best: jnp.ndarray   # plateau-LR controller state
+    plateau_bad: jnp.ndarray
+    lr_scale: jnp.ndarray
+    epoch: jnp.ndarray
+
+
+def _base_tx(cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW decomposed so the final LR is applied as a runtime scale:
+    updates = -(base_lr · lr_scale) · (adam + wd·p). This keeps plateau /
+    cosine scheduling a pure carry scalar — no recompile, no injected state."""
+    txs = []
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        txs.append(optax.clip_by_global_norm(cfg.grad_clip))
+    txs.append(optax.scale_by_adam())
+    if cfg.weight_decay:
+        txs.append(optax.add_decayed_weights(cfg.weight_decay))
+    txs.append(optax.scale(-cfg.learning_rate))
+    return optax.chain(*txs)
+
+
+def _cosine_scale(cfg: TrainConfig, epoch: jnp.ndarray) -> jnp.ndarray:
+    """warmup+cosine as a multiplier on base lr (reference
+    ``CosineAnnealingWarmup`` semantics; epoch is 0-indexed here)."""
+    e = epoch.astype(jnp.float32) + 1.0
+    warm = jnp.maximum(cfg.warmup_epochs, 1)
+    warm_scale = e / warm
+    progress = (e - warm) / jnp.maximum(cfg.num_epochs - warm, 1)
+    progress = jnp.clip(progress, 0.0, 1.0)
+    min_scale = cfg.min_lr / cfg.learning_rate
+    cos_scale = min_scale + 0.5 * (1.0 - min_scale) * (
+        1.0 + jnp.cos(jnp.pi * progress)
+    )
+    return jnp.where(e <= warm, warm_scale, cos_scale)
+
+
+def _plateau_update(cfg: TrainConfig, best, bad, scale, metric):
+    """Functional ReduceLROnPlateau (mode=min on train loss)."""
+    improved = metric < best - 1e-4
+    best = jnp.where(improved, metric, best)
+    bad = jnp.where(improved, 0, bad + 1)
+    trigger = bad > cfg.plateau_patience
+    scale = jnp.where(
+        trigger,
+        jnp.maximum(scale * cfg.plateau_factor, cfg.min_lr / cfg.learning_rate),
+        scale,
+    )
+    bad = jnp.where(trigger, 0, bad)
+    return best, bad, scale
+
+
+def make_fit_fn(
+    model,
+    cfg: TrainConfig,
+    *,
+    num_epochs: Optional[int] = None,
+    task: str = "classification",
+    eval_names: Tuple[str, ...] = ("val", "test"),
+    loss_kwargs: Optional[dict] = None,
+    donate: bool = True,
+) -> Callable[..., FitResult]:
+    """Build a jitted ``fit(rng, train_data, eval_sets, class_weights)``.
+
+    train_data / eval_sets leaves are fixed-shape arrays with a ``weight``
+    mask column (0 = padding row). ``eval_sets`` is a dict keyed by
+    ``eval_names``. The returned function is pure → vmap/shard freely.
+    """
+    E = num_epochs or cfg.num_epochs
+    if cfg.selection != "train_loss" and cfg.selection not in eval_names:
+        raise ValueError(
+            f"cfg.selection={cfg.selection!r} but eval_names={eval_names}; "
+            "pass the selection set or use selection='train_loss'"
+        )
+    lk = dict(loss_kwargs or {})
+    if task == "regression":
+        loss_fn = make_loss_fn("mse")
+    else:
+        name = cfg.loss
+        if name == "focal":
+            lk.setdefault("alpha", cfg.focal_alpha)
+            lk.setdefault("gamma", cfg.focal_gamma)
+        if name == "label_smoothing":
+            lk.setdefault("smoothing", cfg.label_smoothing)
+        loss_fn = make_loss_fn(name, **lk)
+
+    tx = _base_tx(cfg)
+    target_key = "label"
+    metric_mode_max = cfg.selection != "train_loss"
+
+    def _apply_train(params, batch_stats, batch, rng):
+        inputs = split_batch(batch)
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out, mut = model.apply(
+            variables, **inputs, train=True, rngs={"dropout": rng},
+            mutable=mutable,
+        ) if mutable else (
+            model.apply(variables, **inputs, train=True,
+                        rngs={"dropout": rng}),
+            {},
+        )
+        return out, mut.get("batch_stats", batch_stats)
+
+    def _apply_eval(params, batch_stats, batch):
+        inputs = split_batch(batch)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, **inputs, train=False)
+
+    def _loss_and_stats(params, batch_stats, batch, rng, class_weights):
+        out, new_bs = _apply_train(params, batch_stats, batch, rng)
+        loss = loss_fn(out.logits, batch[target_key], class_weights,
+                       batch.get("weight"))
+        return loss, new_bs
+
+    grad_fn = jax.value_and_grad(_loss_and_stats, has_aux=True)
+
+    def _train_step(carry, batch, class_weights):
+        params, batch_stats, opt_state, rng, lr_scale, stopped = carry
+        rng, drop_rng = jax.random.split(rng)
+        (loss, new_bs), grads = grad_fn(params, batch_stats, batch, drop_rng,
+                                        class_weights)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        new_params = optax.apply_updates(params, updates)
+        # freeze everything once early-stopped (static-shape early stop)
+        sel = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stopped, b, a), new, old
+        )
+        params = sel(new_params, params)
+        batch_stats = sel(new_bs, batch_stats) if batch_stats else new_bs
+        opt_state = sel(new_opt, opt_state)
+        return (params, batch_stats, opt_state, rng, lr_scale, stopped), loss
+
+    def _eval_metrics(params, batch_stats, data):
+        out = _apply_eval(params, batch_stats, data)
+        w = data.get("weight")
+        if task == "regression":
+            return regression_metrics(out.logits, data[target_key], w)
+        return binary_classification_metrics(out.logits, data[target_key], w)
+
+    def fit(rng, train_data, eval_sets, class_weights=None) -> FitResult:
+        n = jax.tree_util.tree_leaves(train_data)[0].shape[0]
+        bsz = min(cfg.batch_size, n)
+        steps = n // bsz
+        used = steps * bsz
+
+        # --- init ---
+        rng, init_rng, drop_rng = jax.random.split(rng, 3)
+        init_batch = jax.tree_util.tree_map(lambda x: x[:bsz], train_data)
+        variables = model.init(
+            {"params": init_rng, "dropout": drop_rng},
+            **split_batch(init_batch), train=True,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+
+        carry = _Carry(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            rng=rng,
+            best_params=params,
+            best_batch_stats=batch_stats,
+            best_metric=jnp.asarray(-jnp.inf, jnp.float32),
+            best_epoch=jnp.asarray(-1, jnp.int32),
+            bad_epochs=jnp.asarray(0, jnp.int32),
+            stopped=jnp.asarray(False),
+            plateau_best=jnp.asarray(jnp.inf, jnp.float32),
+            plateau_bad=jnp.asarray(0, jnp.int32),
+            lr_scale=jnp.asarray(1.0, jnp.float32),
+            epoch=jnp.asarray(0, jnp.int32),
+        )
+
+        def epoch_body(c: _Carry, _):
+            rng, perm_rng = jax.random.split(c.rng)
+            perm = jax.random.permutation(perm_rng, n)[:used]
+            batches = jax.tree_util.tree_map(
+                lambda x: x[perm].reshape(steps, bsz, *x.shape[1:]),
+                train_data,
+            )
+            lr_scale = (
+                _cosine_scale(cfg, c.epoch)
+                if cfg.schedule == "warmup_cosine"
+                else c.lr_scale
+            )
+            (params, batch_stats, opt_state, rng, _, _), losses = jax.lax.scan(
+                partial(_train_step, class_weights=class_weights),
+                (c.params, c.batch_stats, c.opt_state, rng, lr_scale,
+                 c.stopped),
+                batches,
+            )
+            train_loss = jnp.mean(losses)
+
+            # --- evaluation & selection ---
+            metrics_out = {"train_loss": train_loss, "lr_scale": lr_scale}
+            sel_metric = -train_loss  # default: selection == 'train_loss'
+            for name in eval_names:
+                m = _eval_metrics(params, batch_stats, eval_sets[name])
+                for k, v in m.items():
+                    metrics_out[f"{name}_{k}"] = v
+                key = "f1" if task == "classification" else "r2"
+                if cfg.selection == name:
+                    sel_metric = m[key]
+
+            improved = jnp.logical_and(
+                sel_metric > c.best_metric + (cfg.min_delta if metric_mode_max else 0.0),
+                ~c.stopped,
+            )
+            take_new = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(improved, a, b), new, old
+            )
+            best_params = take_new(params, c.best_params)
+            best_bs = (
+                take_new(batch_stats, c.best_batch_stats)
+                if batch_stats else batch_stats
+            )
+            best_metric = jnp.where(improved, sel_metric, c.best_metric)
+            best_epoch = jnp.where(improved, c.epoch, c.best_epoch)
+            bad = jnp.where(improved, 0, c.bad_epochs + 1)
+            stopped = jnp.logical_or(c.stopped, bad >= cfg.patience)
+
+            # plateau LR on train loss (reference scheduler input)
+            if cfg.schedule == "plateau":
+                p_best, p_bad, lr_scale2 = _plateau_update(
+                    cfg, c.plateau_best, c.plateau_bad, lr_scale, train_loss
+                )
+            else:
+                p_best, p_bad, lr_scale2 = c.plateau_best, c.plateau_bad, lr_scale
+
+            new_c = _Carry(
+                params=params, batch_stats=batch_stats, opt_state=opt_state,
+                rng=rng, best_params=best_params, best_batch_stats=best_bs,
+                best_metric=best_metric, best_epoch=best_epoch,
+                bad_epochs=bad, stopped=stopped,
+                plateau_best=p_best, plateau_bad=p_bad, lr_scale=lr_scale2,
+                epoch=c.epoch + 1,
+            )
+            return new_c, metrics_out
+
+        final, history = jax.lax.scan(epoch_body, carry, None, length=E)
+        return FitResult(
+            params=final.best_params,
+            batch_stats=final.best_batch_stats,
+            final_params=final.params,
+            final_batch_stats=final.batch_stats,
+            best_metric=final.best_metric,
+            best_epoch=final.best_epoch,
+            history=history,
+        )
+
+    return fit
+
+
+def fit(model, cfg: TrainConfig, rng, train_data, eval_sets,
+        class_weights=None, **kw) -> FitResult:
+    """Convenience one-shot (jits internally on first call per shape)."""
+    fn = make_fit_fn(model, cfg, eval_names=tuple(eval_sets.keys()), **kw)
+    return jax.jit(fn)(rng, train_data, eval_sets, class_weights)

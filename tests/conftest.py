@@ -1,0 +1,20 @@
+"""Test configuration: force CPU backend with 8 virtual devices so the
+mesh/DP/fold-parallel paths are exercised without TPU hardware
+(SURVEY §4 implication (3))."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
