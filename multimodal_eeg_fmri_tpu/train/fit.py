@@ -133,6 +133,7 @@ def make_fit_fn(
     task: str = "classification",
     eval_names: Tuple[str, ...] = ("val", "test"),
     loss_kwargs: Optional[dict] = None,
+    augment: Optional[Callable] = None,
     donate: bool = True,
 ) -> Callable[..., FitResult]:
     """Build a jitted ``fit(rng, train_data, eval_sets, class_weights)``.
@@ -197,7 +198,9 @@ def make_fit_fn(
 
     def _train_step(carry, batch, class_weights):
         params, batch_stats, opt_state, rng, lr_scale, stopped = carry
-        rng, drop_rng = jax.random.split(rng)
+        rng, drop_rng, aug_rng = jax.random.split(rng, 3)
+        if augment is not None:
+            batch = augment(aug_rng, batch)
         (loss, new_bs), grads = grad_fn(params, batch_stats, batch, drop_rng,
                                         class_weights)
         updates, new_opt = tx.update(grads, opt_state, params)

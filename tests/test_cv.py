@@ -1,0 +1,105 @@
+"""Tests for the fold-vmapped CV drivers (train/cv.py)."""
+
+import numpy as np
+import pytest
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+from multimodal_eeg_fmri_tpu.data.synthetic import (
+    synthetic_bridge,
+    synthetic_eeg_trimodal,
+    synthetic_fmri,
+)
+from multimodal_eeg_fmri_tpu.models import (
+    BridgeFusionNet,
+    FMRIFusionNet,
+    TriModalFusionNetV4Lite,
+)
+from multimodal_eeg_fmri_tpu.ops.augment import make_eeg_augment
+from multimodal_eeg_fmri_tpu.train.cv import (
+    eeg_kfold_splits,
+    fmri_kfold_splits,
+    loocv_splits,
+    loso_splits,
+    run_cv,
+    subject_level_votes,
+)
+
+
+def test_eeg_kfold_folds_are_subject_grouped():
+    data = synthetic_eeg_trimodal(n_subjects=30, time_steps=32, seed=0)
+    cfg = TrainConfig(seed=42)
+    splits = eeg_kfold_splits(data, cfg, n_splits=5)
+    assert len(splits) == 5
+    for sp in splits:
+        # subject grouping: no subject in both train and test
+        subj = data["subject"]
+        assert not set(subj[sp.train]) & set(subj[sp.test])
+        assert not set(subj[sp.val]) & set(subj[sp.test])
+        # all indices covered exactly once as test
+    all_test = np.concatenate([sp.test for sp in splits])
+    assert sorted(all_test.tolist()) == list(range(30))
+
+
+def test_run_cv_trimodal_kfold_learns():
+    data = synthetic_eeg_trimodal(n_subjects=40, time_steps=32,
+                                  separation=2.5, seed=1)
+    cfg = TrainConfig(batch_size=8, num_epochs=8, learning_rate=3e-3,
+                      schedule="constant", selection="val", patience=100)
+    splits = eeg_kfold_splits(data, cfg, n_splits=3)
+    res = run_cv(
+        TriModalFusionNetV4Lite(hidden_dim=32), cfg, data, splits,
+        normalize_keys=("erp", "pw", "conn"),
+        augment=make_eeg_augment(),
+    )
+    assert res.n_folds == 3
+    mean_acc, std_acc = res.summary["accuracy"]
+    assert mean_acc > 0.6, res.fold_metrics
+    assert res.test_probs.shape[0] == 3
+    # histories recorded per fold
+    assert res.history["train_loss"].shape[0] >= 3
+
+
+def test_run_cv_fmri_and_loso_votes():
+    data = synthetic_fmri(n_subjects=24, separation=2.5, seed=2)
+    data.pop("reg_label")
+    cfg = TrainConfig(batch_size=8, num_epochs=8, learning_rate=3e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    splits = loso_splits(data, cfg)
+    assert len(splits) == 24
+    res = run_cv(FMRIFusionNet(hidden_dim=16), cfg, data, splits,
+                 normalize="feature",
+                 normalize_keys=("activation", "connectivity"))
+    votes = subject_level_votes(res)
+    assert len(votes) == 24
+    acc = np.mean([votes[int(s)] == int(l) for s, l in
+                   zip(data["subject"], data["label"])])
+    assert acc > 0.6, votes
+
+
+def test_bridge_loocv():
+    data = synthetic_bridge(n_subjects=10, separation=2.5, seed=3)
+    cfg = TrainConfig(batch_size=8, num_epochs=6, learning_rate=3e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    splits = loocv_splits(data)
+    res = run_cv(BridgeFusionNet(bridge_dim=32), cfg, data, splits,
+                 normalize="none")
+    assert res.n_folds == 10
+    # pooled LOOCV accuracy above chance on separable data
+    preds, labels = [], []
+    for f in range(res.n_folds):
+        w = res.test_weight[f] > 0
+        preds.extend(np.argmax(res.test_probs[f][w], -1))
+        labels.extend(res.test_labels[f][w])
+    assert np.mean(np.asarray(preds) == np.asarray(labels)) > 0.6
+
+
+def test_fmri_kfold_split_protocol():
+    data = synthetic_fmri(n_subjects=32, seed=4)
+    cfg = TrainConfig(seed=7)
+    splits = fmri_kfold_splits(data, cfg, n_splits=5)
+    for sp in splits:
+        assert len(set(sp.train) & set(sp.test)) == 0
+        assert len(set(sp.val) & set(sp.test)) == 0
+        assert len(set(sp.train) & set(sp.val)) == 0
