@@ -1,15 +1,23 @@
-"""Test configuration: force CPU backend with 8 virtual devices so the
+"""Test configuration: force the CPU backend with 8 virtual devices so the
 mesh/DP/fold-parallel paths are exercised without TPU hardware
-(SURVEY §4 implication (3))."""
+(SURVEY §4 implication (3)).
+
+Note: this environment's sitecustomize registers an 'axon' TPU backend and
+overrides JAX_PLATFORMS during import, so the env var alone is not enough —
+we must update jax.config after import.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
