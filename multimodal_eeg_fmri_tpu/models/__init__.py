@@ -15,6 +15,7 @@ from multimodal_eeg_fmri_tpu.models.fmri import (
     FMRIFusionNet,
 )
 from multimodal_eeg_fmri_tpu.models.bridge import BridgeFusionNet
+from multimodal_eeg_fmri_tpu.models.multimodal import MultimodalEndToEnd
 
 MODEL_REGISTRY = {
     "trimodal": TriModalFusionNetV4,
@@ -27,6 +28,7 @@ MODEL_REGISTRY = {
     "fmri_activation_only": FMRIActivationOnly,
     "fmri_connectivity_only": FMRIConnectivityOnly,
     "bridge": BridgeFusionNet,
+    "multimodal_e2e": MultimodalEndToEnd,
 }
 
 __all__ = [
@@ -41,5 +43,6 @@ __all__ = [
     "FMRIActivationOnly",
     "FMRIConnectivityOnly",
     "BridgeFusionNet",
+    "MultimodalEndToEnd",
     "MODEL_REGISTRY",
 ]

@@ -1,0 +1,116 @@
+"""Kernel SHAP with device-batched coalition evaluation.
+
+Reference: ``SHAPExplainer`` (``eeg_xai_analysis.py:243-365``) and the bridge
+SHAP pass (``_test_bridge.py:1159-1247``) wrap ``shap.KernelExplainer`` over
+the flattened, concatenated modalities and keep class-1 values. Kernel SHAP
+is inherently a host-orchestrated sampling algorithm; the TPU-native version
+keeps the *estimator* on host (tiny weighted least squares) but evaluates ALL
+sampled coalitions for ALL explained samples as one batched device call —
+the model-evaluation cost, which dominates, becomes a single large batch.
+
+Implementation = the Kernel SHAP algorithm (Lundberg & Lee 2017): sample
+coalitions z ∈ {0,1}^M with the Shapley kernel weight
+w(z) = (M−1) / (C(M,|z|)·|z|·(M−|z|)), evaluate f(h(z)) where h substitutes
+background values for absent features, and solve the constrained weighted
+regression whose coefficients are the Shapley values.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _coalition_sample(m: int, n_samples: int, rng: np.random.Generator):
+    """Sample coalitions + kernel weights, always including the paired
+    complement (variance reduction, as shap's sampler does)."""
+    sizes = np.arange(1, m)
+    # shapley kernel over sizes (up to the C(M,s) factor handled by sampling)
+    w_sizes = (m - 1) / (sizes * (m - sizes))
+    p = w_sizes / w_sizes.sum()
+    Z = np.zeros((n_samples, m), np.float32)
+    for i in range(0, n_samples, 2):
+        s = rng.choice(sizes, p=p)
+        idx = rng.choice(m, size=s, replace=False)
+        Z[i, idx] = 1.0
+        if i + 1 < n_samples:
+            Z[i + 1] = 1.0 - Z[i]
+    return Z
+
+
+def kernel_shap(
+    f: Callable[[np.ndarray], np.ndarray],
+    X: np.ndarray,           # (N, M) samples to explain (flattened features)
+    background: np.ndarray,  # (M,) or (Nb, M) background values
+    n_samples: int = 100,
+    rng: Optional[np.random.Generator] = None,
+    batch_eval: bool = True,
+) -> np.ndarray:
+    """Shapley values (N, M) for scalar model output ``f`` (e.g. class-1
+    probability). ``f`` receives a (K, M) array and returns (K,) — it should
+    be a jitted device function; all N·n_samples coalition evaluations are
+    issued as one call when ``batch_eval``.
+    """
+    rng = rng or np.random.default_rng(0)
+    N, M = X.shape
+    bg = background.reshape(-1, M).mean(axis=0)
+
+    Z = _coalition_sample(M, n_samples, rng)          # (S, M)
+    S = Z.shape[0]
+    sizes = Z.sum(axis=1)
+    w = (M - 1) / np.maximum(sizes * (M - sizes), 1e-9)
+
+    # masked inputs for every (sample, coalition): x·z + bg·(1−z)
+    Xz = X[:, None, :] * Z[None] + bg[None, None, :] * (1 - Z)[None]  # (N,S,M)
+    flat = Xz.reshape(N * S, M)
+    fx = np.asarray(f(X)).reshape(N)                   # full coalitions
+    f0 = float(np.asarray(f(bg[None, :])).reshape(1)[0])  # empty coalition
+    if batch_eval:
+        fz = np.asarray(f(flat)).reshape(N, S)
+    else:
+        fz = np.stack([np.asarray(f(Xz[i])).reshape(S) for i in range(N)])
+
+    # constrained weighted least squares per sample:
+    # minimize Σ w_s (f(z_s) − f0 − z_s·φ)²  s.t.  Σφ = fx − f0
+    # eliminate the constraint by substituting the last feature; solve with
+    # minimum-norm lstsq (the system is underdetermined when n_samples < M,
+    # e.g. high-dimensional flattened-modal inputs).
+    Zl = Z[:, :-1] - Z[:, -1:]                        # (S, M-1)
+    sw = np.sqrt(w)
+    A = Zl * sw[:, None]
+    phis = np.zeros((N, M), np.float32)
+    total = fx - f0
+    for i in range(N):
+        y = fz[i] - f0 - Z[:, -1] * total[i]
+        phi_rest, *_ = np.linalg.lstsq(A, sw * y, rcond=None)
+        phis[i, :-1] = phi_rest
+        phis[i, -1] = total[i] - phi_rest.sum()
+    return phis
+
+
+def make_class_prob_fn(model, params, batch_stats, template: dict,
+                       class_idx: int = 1) -> Callable:
+    """Adapter: flattened (K, M) feature rows → class probability, where M is
+    the concatenation of the (flattened) modality arrays in ``template``
+    (dict of per-modality shapes, insertion-ordered) — the reference's
+    flattened-concat SHAP convention."""
+    keys = list(template.keys())
+    shapes = [tuple(template[k]) for k in keys]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offsets = np.cumsum([0] + sizes)
+
+    def apply_flat(flat: jnp.ndarray) -> jnp.ndarray:
+        inputs = {}
+        for k, sh, o, s in zip(keys, shapes, offsets[:-1], sizes):
+            inputs[k] = flat[:, o:o + s].reshape((flat.shape[0],) + sh)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = model.apply(variables, **inputs, train=False).logits
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, class_idx]
+
+    jitted = jax.jit(apply_flat)
+    return lambda x: jitted(jnp.asarray(x, jnp.float32))
