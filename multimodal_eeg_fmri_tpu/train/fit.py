@@ -82,16 +82,15 @@ class _Carry:
 
 
 def _base_tx(cfg: TrainConfig) -> optax.GradientTransformation:
-    """AdamW decomposed so the final LR is applied as a runtime scale:
-    updates = -(base_lr · lr_scale) · (adam + wd·p). This keeps plateau /
-    cosine scheduling a pure carry scalar — no recompile, no injected state."""
+    """AdamW decomposed so LR and weight decay are applied as RUNTIME
+    scalars in the train step: updates = -(lr·lr_scale)·(adam + wd·p).
+    This keeps plateau/cosine scheduling a pure carry scalar and makes
+    (lr, wd) vmappable axes — HPO trials that differ only in optimizer
+    hyperparameters train inside one compiled program (train/hpo.py)."""
     txs = []
     if cfg.grad_clip and cfg.grad_clip > 0:
         txs.append(optax.clip_by_global_norm(cfg.grad_clip))
     txs.append(optax.scale_by_adam())
-    if cfg.weight_decay:
-        txs.append(optax.add_decayed_weights(cfg.weight_decay))
-    txs.append(optax.scale(-cfg.learning_rate))
     return optax.chain(*txs)
 
 
@@ -196,7 +195,7 @@ def make_fit_fn(
 
     grad_fn = jax.value_and_grad(_loss_and_stats, has_aux=True)
 
-    def _train_step(carry, batch, class_weights):
+    def _train_step(carry, batch, class_weights, lr, wd):
         params, batch_stats, opt_state, rng, lr_scale, stopped = carry
         rng, drop_rng, aug_rng = jax.random.split(rng, 3)
         if augment is not None:
@@ -204,7 +203,10 @@ def make_fit_fn(
         (loss, new_bs), grads = grad_fn(params, batch_stats, batch, drop_rng,
                                         class_weights)
         updates, new_opt = tx.update(grads, opt_state, params)
-        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        # decoupled weight decay + runtime LR (AdamW semantics)
+        step_size = lr * lr_scale
+        updates = jax.tree_util.tree_map(
+            lambda u, p: -step_size * (u + wd * p), updates, params)
         new_params = optax.apply_updates(params, updates)
         # freeze everything once early-stopped (static-shape early stop)
         sel = lambda new, old: jax.tree_util.tree_map(
@@ -222,7 +224,12 @@ def make_fit_fn(
             return regression_metrics(out.logits, data[target_key], w)
         return binary_classification_metrics(out.logits, data[target_key], w)
 
-    def fit(rng, train_data, eval_sets, class_weights=None) -> FitResult:
+    def fit(rng, train_data, eval_sets, class_weights=None,
+            hyper=None) -> FitResult:
+        """``hyper`` (optional dict {'lr','wd'} of scalars) overrides the
+        config's optimizer hyperparameters at runtime — a vmappable axis."""
+        lr = (hyper or {}).get("lr", cfg.learning_rate)
+        wd = (hyper or {}).get("wd", cfg.weight_decay)
         n = jax.tree_util.tree_leaves(train_data)[0].shape[0]
         bsz = min(cfg.batch_size, n)
         steps = n // bsz
@@ -269,7 +276,8 @@ def make_fit_fn(
                 else c.lr_scale
             )
             (params, batch_stats, opt_state, rng, _, _), losses = jax.lax.scan(
-                partial(_train_step, class_weights=class_weights),
+                partial(_train_step, class_weights=class_weights, lr=lr,
+                        wd=wd),
                 (c.params, c.batch_stats, c.opt_state, rng, lr_scale,
                  c.stopped),
                 batches,
