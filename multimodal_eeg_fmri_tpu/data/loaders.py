@@ -188,6 +188,31 @@ def load_eeg_erp_features(
 # fMRI CSVs
 # ---------------------------------------------------------------------------
 
+def _read_feature_csv(fp: Path) -> Optional[np.ndarray]:
+    """Numeric feature CSV → float32 (rows, cols), NaN→0.
+
+    Fast path: the native mmap parser (data/native_io.py) when the file has
+    no 'Subject' id column to drop; pandas otherwise (column-name semantics
+    need the header)."""
+    try:
+        with open(fp, "r") as f:
+            header = f.readline()
+    except OSError:
+        return None
+    if "Subject" not in header:
+        from multimodal_eeg_fmri_tpu.data import native_io
+
+        arr = native_io.read_csv_f32(fp)
+        if arr is not None:
+            return arr
+    import pandas as pd
+
+    df = pd.read_csv(fp)
+    if "Subject" in df.columns:
+        df = df.drop("Subject", axis=1)
+    return np.nan_to_num(df.values.astype(np.float32), nan=0.0)
+
+
 def load_fmri_activation_features(
     data_dir: str | Path,
     subject_list: Sequence[int],
@@ -209,10 +234,9 @@ def load_fmri_activation_features(
                 missing.append(str(fp))
                 continue
             try:
-                df = pd.read_csv(fp)
-                if "Subject" in df.columns:
-                    df = df.drop("Subject", axis=1)
-                arr = np.nan_to_num(df.values.astype(np.float32), nan=0.0)
+                arr = _read_feature_csv(fp)
+                if arr is None:
+                    continue
                 if agg_method == "mean":
                     feats.append(arr.mean(0))
                 elif agg_method == "std":
@@ -248,11 +272,9 @@ def load_fmri_connectivity_features(
             if not fp.exists():
                 continue
             try:
-                df = pd.read_csv(fp)
-                if "Subject" in df.columns:
-                    df = df.drop("Subject", axis=1)
-                feats.append(np.nan_to_num(
-                    df.values.astype(np.float32).flatten(), nan=0.0))
+                arr = _read_feature_csv(fp)
+                if arr is not None:
+                    feats.append(arr.flatten())
             except Exception as e:  # noqa: BLE001
                 logger.warning("Error loading %s: %s", fp, e)
         if feats:

@@ -1,0 +1,166 @@
+"""ctypes bindings for the native host-IO runtime (native/fastio.cpp).
+
+Gives the loaders a parallel mmap'd ingest path for the reference's
+many-small-CSV layout (one file per subject × feature type,
+``fMRI_CODE/run_fmri_v11.py:81-155``). Auto-builds the shared library with
+the repo Makefile on first use when a toolchain is present; every entry
+point degrades to the numpy/pandas path when it isn't, so the framework has
+no hard native dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _native_dir() -> Path:
+    return Path(__file__).resolve().parents[2] / "native"
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _native_dir() / "build" / "libfastio.so"
+    if not so.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_native_dir())],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, FileNotFoundError) as e:
+            logger.info("native fastio unavailable (%s); using numpy path", e)
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.fio_read_f32.restype = ctypes.c_int64
+        lib.fio_read_f32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.fio_read_csv.restype = ctypes.c_int64
+        lib.fio_read_csv.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        lib.fio_read_csv_batch.restype = ctypes.c_int64
+        lib.fio_read_csv_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int]
+        _LIB = lib
+    except OSError as e:
+        logger.info("failed to load libfastio (%s); using numpy path", e)
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def read_csv_f32(path: str | Path, max_elems: int = 1 << 22,
+                 skip_header: int = 1) -> Optional[np.ndarray]:
+    """One CSV → (rows, cols) float32 array, NaN→0. ``skip_header``:
+    1 = pandas semantics (row 0 is always the header — the framework's
+    feature-CSV convention), 0 = auto-detect, -1 = never skip.
+    Returns None on failure (caller falls back to pandas)."""
+    lib = _load_library()
+    if lib is None:
+        return _numpy_csv(path)
+    arena = np.empty(max_elems, np.float32)
+    cols = ctypes.c_int64(0)
+    rows = lib.fio_read_csv(
+        str(path).encode(), arena.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)), max_elems,
+        ctypes.byref(cols), skip_header)
+    if rows < 0 or cols.value <= 0:
+        return None
+    return arena[: rows * cols.value].reshape(rows, cols.value).copy()
+
+
+def read_csv_batch(
+    paths: Sequence[str | Path],
+    max_elems_per_file: int = 1 << 20,
+    n_threads: int = 8,
+    skip_header: int = 1,
+) -> List[Optional[np.ndarray]]:
+    """Parse many CSVs in parallel into one arena; per-file arrays or None."""
+    lib = _load_library()
+    if lib is None:
+        return [_numpy_csv(p) for p in paths]
+    n = len(paths)
+    # Size the arena from the actual files: a CSV float field occupies at
+    # least 2 bytes (digit + separator), so bytes/2 bounds the element
+    # count. An oversized arena is not just waste — first-touch page
+    # faults on hundreds of idle MB dominated ingest time on small hosts.
+    try:
+        max_bytes = max(Path(p).stat().st_size for p in paths)
+        stride = min(max_elems_per_file, max(1024, max_bytes // 2 + 16))
+    except OSError:
+        stride = max_elems_per_file
+    max_elems_per_file = stride
+    arena = np.empty(n * max_elems_per_file, np.float32)
+    rows = np.zeros(n, np.int64)
+    cols = np.zeros(n, np.int64)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.fio_read_csv_batch(
+        c_paths, n,
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_elems_per_file,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_threads, skip_header,
+    )
+    out: List[Optional[np.ndarray]] = []
+    for i in range(n):
+        if rows[i] <= 0 or cols[i] <= 0:
+            out.append(None)
+        else:
+            k = int(rows[i] * cols[i])
+            out.append(
+                arena[i * max_elems_per_file: i * max_elems_per_file + k]
+                .reshape(int(rows[i]), int(cols[i])).copy())
+    return out
+
+
+def read_f32_binary(path: str | Path,
+                    max_elems: int = 1 << 24) -> Optional[np.ndarray]:
+    lib = _load_library()
+    if lib is None:
+        try:
+            return np.fromfile(str(path), dtype=np.float32)
+        except OSError:
+            return None
+    arena = np.empty(max_elems, np.float32)
+    n = lib.fio_read_f32(
+        str(path).encode(),
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_elems)
+    if n < 0:
+        return None
+    return arena[:n].copy()
+
+
+def _numpy_csv(path) -> Optional[np.ndarray]:
+    try:
+        arr = np.genfromtxt(str(path), delimiter=",", skip_header=0,
+                            dtype=np.float32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if np.isnan(arr[0]).all():  # header row became NaNs
+            arr = np.genfromtxt(str(path), delimiter=",", skip_header=1,
+                                dtype=np.float32)
+            if arr.ndim == 1:
+                arr = arr[None, :]
+        return np.nan_to_num(arr, nan=0.0)
+    except (OSError, ValueError):
+        return None

@@ -72,6 +72,11 @@ class MultiHeadAttention(nn.Module):
 
     num_heads: int
     dropout: float = 0.0
+    # K/V length at which self-attention switches to the fused blockwise
+    # Pallas kernel (attention probabilities are then not materialized, so
+    # the returned weights are None — only the XAI paths read them, and
+    # those run at the reference's short lengths).
+    flash_min_len: int = 256
 
     @nn.compact
     def __call__(
@@ -82,7 +87,7 @@ class MultiHeadAttention(nn.Module):
         *,
         train: bool = False,
         mask: Optional[jnp.ndarray] = None,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         d_model = query.shape[-1]
         assert d_model % self.num_heads == 0, "d_model must divide num_heads"
         head_dim = d_model // self.num_heads
@@ -96,16 +101,34 @@ class MultiHeadAttention(nn.Module):
         k = proj("k_proj")(key)
         v = proj("v_proj")(value)
 
-        scale = 1.0 / math.sqrt(head_dim)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        if mask is not None:
-            logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        out = nn.DenseGeneral(features=d_model, axis=(-2, -1), name="out_proj")(out)
-        # torch returns attention averaged over heads
-        return out, jnp.mean(probs, axis=1)
+        use_flash = (
+            mask is None
+            and key.shape[1] >= self.flash_min_len
+            and (self.dropout == 0.0 or not train)
+        )
+        if use_flash:
+            from multimodal_eeg_fmri_tpu.ops.attention import flash_attention
+
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+            ).transpose(0, 2, 1, 3)
+            mean_probs = None
+        else:
+            scale = 1.0 / math.sqrt(head_dim)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            if mask is not None:
+                logits = jnp.where(mask, logits,
+                                   jnp.finfo(logits.dtype).min)
+            probs = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            # torch returns attention averaged over heads
+            mean_probs = jnp.mean(probs, axis=1)
+        out = nn.DenseGeneral(features=d_model, axis=(-2, -1),
+                              name="out_proj")(out)
+        return out, mean_probs
 
 
 class TransformerBlock(nn.Module):

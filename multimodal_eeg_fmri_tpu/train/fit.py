@@ -61,6 +61,9 @@ class FitResult(NamedTuple):
     best_metric: jnp.ndarray
     best_epoch: jnp.ndarray
     history: Dict[str, jnp.ndarray]  # per-epoch series, each (num_epochs,)
+    carry: Any = None      # full final training state — pass back via
+    #                        ``resume_carry`` to continue training
+    #                        (fault-tolerant chunked runs, train/resilient.py)
 
 
 @struct.dataclass
@@ -225,9 +228,11 @@ def make_fit_fn(
         return binary_classification_metrics(out.logits, data[target_key], w)
 
     def fit(rng, train_data, eval_sets, class_weights=None,
-            hyper=None) -> FitResult:
+            hyper=None, resume_carry=None) -> FitResult:
         """``hyper`` (optional dict {'lr','wd'} of scalars) overrides the
-        config's optimizer hyperparameters at runtime — a vmappable axis."""
+        config's optimizer hyperparameters at runtime — a vmappable axis.
+        ``resume_carry`` (a previous result's ``.carry``) continues training
+        from saved state instead of re-initializing."""
         lr = (hyper or {}).get("lr", cfg.learning_rate)
         wd = (hyper or {}).get("wd", cfg.weight_decay)
         n = jax.tree_util.tree_leaves(train_data)[0].shape[0]
@@ -246,22 +251,25 @@ def make_fit_fn(
         batch_stats = variables.get("batch_stats", {})
         opt_state = tx.init(params)
 
-        carry = _Carry(
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=opt_state,
-            rng=rng,
-            best_params=params,
-            best_batch_stats=batch_stats,
-            best_metric=jnp.asarray(-jnp.inf, jnp.float32),
-            best_epoch=jnp.asarray(-1, jnp.int32),
-            bad_epochs=jnp.asarray(0, jnp.int32),
-            stopped=jnp.asarray(False),
-            plateau_best=jnp.asarray(jnp.inf, jnp.float32),
-            plateau_bad=jnp.asarray(0, jnp.int32),
-            lr_scale=jnp.asarray(1.0, jnp.float32),
-            epoch=jnp.asarray(0, jnp.int32),
-        )
+        if resume_carry is not None:
+            carry = resume_carry
+        else:
+            carry = _Carry(
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=opt_state,
+                rng=rng,
+                best_params=params,
+                best_batch_stats=batch_stats,
+                best_metric=jnp.asarray(-jnp.inf, jnp.float32),
+                best_epoch=jnp.asarray(-1, jnp.int32),
+                bad_epochs=jnp.asarray(0, jnp.int32),
+                stopped=jnp.asarray(False),
+                plateau_best=jnp.asarray(jnp.inf, jnp.float32),
+                plateau_bad=jnp.asarray(0, jnp.int32),
+                lr_scale=jnp.asarray(1.0, jnp.float32),
+                epoch=jnp.asarray(0, jnp.int32),
+            )
 
         def epoch_body(c: _Carry, _):
             rng, perm_rng = jax.random.split(c.rng)
@@ -339,6 +347,7 @@ def make_fit_fn(
             best_metric=final.best_metric,
             best_epoch=final.best_epoch,
             history=history,
+            carry=final,
         )
 
     return fit

@@ -1,0 +1,123 @@
+"""Fault-tolerant chunked training: checkpoint every chunk, resume on crash.
+
+The reference's checkpointing is model *selection*, not fault tolerance
+(SURVEY §5: best-state deepcopy + per-fold best disk checkpoints; a crash
+restarts a fold from scratch). Here training runs in compiled chunks of
+``chunk_epochs``; after each chunk the FULL training carry (params, opt
+state, best-state tracking, early-stop counters, plateau controller, PRNG
+key, epoch counter) is written with orbax. On restart the latest chunk is
+restored and training continues bit-exactly where it left off — the cosine
+schedule, early stopping and best-model selection all see the same state
+they would have in an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+from multimodal_eeg_fmri_tpu.train.fit import FitResult, make_fit_fn
+
+
+def _chunk_dir(ckpt_dir: Path, chunk: int) -> Path:
+    return ckpt_dir / f"chunk_{chunk:05d}"
+
+
+def latest_chunk(ckpt_dir: str | Path) -> Optional[int]:
+    d = Path(ckpt_dir)
+    if not d.exists():
+        return None
+    chunks = sorted(int(p.name.split("_")[1]) for p in d.glob("chunk_*")
+                    if (p / "_COMPLETE").exists())
+    return chunks[-1] if chunks else None
+
+
+def fit_resumable(
+    model,
+    cfg: TrainConfig,
+    rng: jax.Array,
+    train_data: Dict[str, Any],
+    eval_sets: Dict[str, Dict[str, Any]],
+    ckpt_dir: str | Path,
+    class_weights=None,
+    chunk_epochs: int = 10,
+    keep_chunks: int = 2,
+) -> FitResult:
+    """Train ``cfg.num_epochs`` total in compiled chunks with durable
+    checkpoints. Safe to call again after a crash — it resumes from the
+    last complete chunk."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    total = cfg.num_epochs
+    n_chunks = (total + chunk_epochs - 1) // chunk_epochs
+
+    fit_fn = jax.jit(
+        make_fit_fn(model, cfg, num_epochs=chunk_epochs,
+                    eval_names=tuple(eval_sets.keys())),
+        static_argnames=(),
+    )
+
+    ckptr = ocp.PyTreeCheckpointer()
+    start = 0
+    carry = None
+    histories = []
+    resumed = latest_chunk(ckpt_dir)
+    if resumed is not None:
+        # orbax needs the pytree STRUCTURE (optax NamedTuples, the _Carry
+        # struct) to restore into — derive it for free with eval_shape.
+        shape_res = jax.eval_shape(
+            make_fit_fn(model, cfg, num_epochs=chunk_epochs,
+                        eval_names=tuple(eval_sets.keys())),
+            rng, train_data, eval_sets, class_weights, None, None)
+        n_hist = resumed + 1
+        template = {"carry": shape_res.carry,
+                    "histories": [shape_res.history] * n_hist}
+        restored = ckptr.restore(_chunk_dir(ckpt_dir, resumed) / "state",
+                                 item=template)
+        carry = restored["carry"]
+        histories = [jax.tree_util.tree_map(np.asarray, h)
+                     for h in restored["histories"]]
+        start = resumed + 1
+
+    result = None
+    for chunk in range(start, n_chunks):
+        result = fit_fn(rng, train_data, eval_sets, class_weights,
+                        None, carry)
+        carry = result.carry
+        histories.append(jax.tree_util.tree_map(np.asarray, result.history))
+        cd = _chunk_dir(ckpt_dir, chunk)
+        if cd.exists():
+            shutil.rmtree(cd)
+        ckptr.save(cd / "state", {"carry": jax.device_get(carry),
+                                  "histories": histories})
+        (cd / "_COMPLETE").write_text(json.dumps({"chunk": chunk}))
+        # prune old chunks
+        for old in sorted(ckpt_dir.glob("chunk_*"))[:-keep_chunks]:
+            shutil.rmtree(old, ignore_errors=True)
+
+    if result is None:  # fully resumed, nothing left to run
+        final = carry
+        history = _concat_histories(histories)
+        return FitResult(
+            params=final.best_params, batch_stats=final.best_batch_stats,
+            final_params=final.params, final_batch_stats=final.batch_stats,
+            best_metric=final.best_metric, best_epoch=final.best_epoch,
+            history=history, carry=final,
+        )
+    return result._replace(history=_concat_histories(histories))
+
+
+def _concat_histories(histories):
+    if not histories:
+        return {}
+    keys = histories[0].keys()
+    return {k: np.concatenate([np.asarray(h[k]) for h in histories])
+            for k in keys}
