@@ -72,6 +72,40 @@ class ReduceLROnPlateau:
         return self.scale
 
 
+@dataclass
+class EarlyStopping:
+    """Standalone early-stopping controller for host-driven loops
+    (reference ``EarlyStopping``, ``crossmodal_v4_enhancements.py:1115-1143``).
+    The compiled fit (train/fit.py) implements the same policy on device."""
+
+    patience: int = 10
+    min_delta: float = 1e-3
+    mode: str = "max"
+
+    def __post_init__(self):
+        self.counter = 0
+        self.best_score = None
+        self.should_stop = False
+
+    def __call__(self, score: float) -> bool:
+        if self.best_score is None:
+            self.best_score = score
+            return False
+        improved = (
+            score > self.best_score + self.min_delta
+            if self.mode == "max"
+            else score < self.best_score - self.min_delta
+        )
+        if improved:
+            self.best_score = score
+            self.counter = 0
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.should_stop = True
+        return self.should_stop
+
+
 def make_optimizer(
     learning_rate,
     weight_decay: float = 0.0,

@@ -200,6 +200,28 @@ def plot_topomap(ci, path: str | Path = "topomap.png"):
     return Path(path)
 
 
+def plot_region_radar(ci, path: str | Path = "region_radar.png"):
+    """Radar chart of region importance (reference
+    ``plot_region_comparison``, ``eeg_xai_analysis.py:803-833``)."""
+    plt = _plt()
+    regions = list(ci.region_values)
+    vals = [ci.region_values[r] for r in regions]
+    angles = np.linspace(0, 2 * np.pi, len(regions), endpoint=False).tolist()
+    vals_c = vals + vals[:1]
+    angles_c = angles + angles[:1]
+    fig, ax = plt.subplots(figsize=(5, 5),
+                           subplot_kw={"projection": "polar"})
+    ax.plot(angles_c, vals_c, "o-")
+    ax.fill(angles_c, vals_c, alpha=0.25)
+    ax.set_xticks(angles)
+    ax.set_xticklabels(regions)
+    ax.set_title("Region importance")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return Path(path)
+
+
 def plot_connectivity_matrix(matrix: np.ndarray,
                              channel_names: Sequence[str],
                              path: str | Path = "connectivity.png"):

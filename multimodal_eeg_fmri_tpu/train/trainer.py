@@ -1,0 +1,156 @@
+"""Class-based trainer — the ``FlexibleTrainer`` API surface.
+
+Reference: ``FlexibleTrainer`` (``CrossModal_EEG_scr.ipynb §23``) exposes
+``train_one_epoch`` / ``evaluate`` / ``save_checkpoint`` / ``load_checkpoint``
+with modality-dispatched forwards, weighted-CE/Focal losses, AdamW, plateau
+LR and grad clipping. The functional core here is train/fit.py (whole-run
+compiled scan — the fast path every driver uses); this class is the
+imperative wrapper for users who want the reference's stateful,
+epoch-at-a-time workflow (interactive notebooks, custom loops). Each
+``train_one_epoch`` call runs one compiled epoch and keeps best-state
+tracking, early stopping and the plateau controller on the host side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+from multimodal_eeg_fmri_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from multimodal_eeg_fmri_tpu.ops.schedules import ReduceLROnPlateau
+from multimodal_eeg_fmri_tpu.train.evaluate import evaluate_dataset
+from multimodal_eeg_fmri_tpu.train.fit import make_fit_fn
+
+
+class Trainer:
+    """Stateful epoch-at-a-time trainer over the compiled fit core."""
+
+    def __init__(
+        self,
+        model,
+        cfg: Optional[TrainConfig] = None,
+        task: str = "classification",
+        augment=None,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.model = model
+        self.cfg = cfg or TrainConfig()
+        self.task = task
+        self.rng = rng if rng is not None else jax.random.key(self.cfg.seed)
+        # one-epoch compiled runs; host drives the epoch loop
+        # selection/early-stop/schedule live on the host in this wrapper;
+        # disarm the compiled core's own early-stop so it can't freeze
+        # updates underneath the host loop
+        one_epoch_cfg = dataclasses.replace(
+            self.cfg, schedule="constant", selection="train_loss",
+            patience=10**9)
+        self._fit1 = jax.jit(make_fit_fn(
+            self.model, one_epoch_cfg, num_epochs=1, task=task,
+            eval_names=(), augment=augment,
+        ))
+        self._carry = None
+        self.epoch = 0
+        self.history: Dict[str, list] = {}
+        self.best_metric = -np.inf
+        self.best_state: Optional[Tuple[Any, Any]] = None
+        self._plateau = ReduceLROnPlateau(
+            factor=self.cfg.plateau_factor,
+            patience=self.cfg.plateau_patience,
+            min_lr_scale=self.cfg.min_lr / self.cfg.learning_rate,
+        )
+        self._bad_epochs = 0
+        self.stopped = False
+
+    # -- state access -------------------------------------------------------
+    @property
+    def params(self):
+        return None if self._carry is None else self._carry.params
+
+    @property
+    def batch_stats(self):
+        return None if self._carry is None else self._carry.batch_stats
+
+    # -- API ---------------------------------------------------------------
+    def train_one_epoch(self, train_data, class_weights=None) -> float:
+        """Run one compiled epoch; returns mean train loss."""
+        dev = jax.tree_util.tree_map(jnp.asarray, train_data)
+        cw = jnp.asarray(class_weights) if class_weights is not None else None
+        if self._carry is not None and self.cfg.schedule == "plateau":
+            self._carry = self._carry.replace(
+                lr_scale=jnp.asarray(self._plateau.scale, jnp.float32))
+        res = self._fit1(self.rng, dev, {}, cw, None, self._carry)
+        self._carry = res.carry
+        self.rng = res.carry.rng
+        loss = float(np.asarray(res.history["train_loss"])[0])
+        self.history.setdefault("train_loss", []).append(loss)
+        self.epoch += 1
+        if self.cfg.schedule == "plateau":
+            self._plateau.step(loss)
+        return loss
+
+    def evaluate(self, data) -> Dict[str, float]:
+        """Full-dataset evaluation with the current params."""
+        metrics, _ = evaluate_dataset(
+            self.model, self._carry.params, self._carry.batch_stats,
+            jax.tree_util.tree_map(jnp.asarray, data), task=self.task)
+        out = {k: float(v) for k, v in metrics.items()}
+        for k, v in out.items():
+            self.history.setdefault(k, []).append(v)
+        return out
+
+    def update_best(self, metric: float) -> bool:
+        """Best-state tracking + early-stopping bookkeeping (the
+        reference's deepcopy-on-improvement, here a device-array ref)."""
+        improved = metric > self.best_metric + self.cfg.min_delta
+        if improved:
+            self.best_metric = metric
+            self.best_state = (self._carry.params, self._carry.batch_stats)
+            self._bad_epochs = 0
+        else:
+            self._bad_epochs += 1
+            if self._bad_epochs >= self.cfg.patience:
+                self.stopped = True
+        return improved
+
+    def fit(self, train_data, val_data=None, class_weights=None,
+            metric: str = "f1") -> Dict[str, list]:
+        """Reference-style epoch loop with early stopping. For production
+        runs prefer train.fit (one compiled scan, no host round-trips)."""
+        for _ in range(self.cfg.num_epochs):
+            if self.stopped:
+                break
+            loss = self.train_one_epoch(train_data, class_weights)
+            if val_data is not None:
+                m = self.evaluate(val_data)
+                self.update_best(m[metric])
+            else:
+                self.update_best(-loss)
+        return self.history
+
+    # -- persistence --------------------------------------------------------
+    def save_checkpoint(self, path: str | Path,
+                        metrics: Optional[Dict[str, float]] = None) -> Path:
+        params, bs = (self.best_state if self.best_state is not None
+                      else (self._carry.params, self._carry.batch_stats))
+        return save_checkpoint(
+            path, params, batch_stats=bs,
+            opt_state=self._carry.opt_state, step=self.epoch,
+            metrics=metrics or {"best_metric": float(self.best_metric)},
+        )
+
+    def load_checkpoint(self, path: str | Path) -> None:
+        restored = load_checkpoint(path)
+        if self._carry is None:
+            raise RuntimeError(
+                "call train_one_epoch once (or fit) before load_checkpoint "
+                "so the optimizer state structure exists")
+        self._carry = self._carry.replace(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", {}),
+        )
