@@ -57,10 +57,24 @@ def build_step():
                      optax.adamw(5e-5, weight_decay=1e-5))
     opt_state = tx.init(params)
 
+    import os
+
+    # measured on v5e: bf16 is ~5% SLOWER at these tiny shapes (batch 8,
+    # d=128 — the step is latency/VPU-bound, not MXU-bound), so f32 is the
+    # default; flip for larger production shapes.
+    bf16 = os.environ.get("BENCH_BF16", "0") == "1"
+
     def zscore(x):
         mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
         sd = jnp.std(x, axis=(-2, -1), keepdims=True)
         return (x - mu) / (sd + 1e-8)
+
+    def cast(tree):
+        if not bf16:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
     def loss_fn(params, batch_stats, batch, rng):
         k_aug, k_drop = jax.random.split(rng)
@@ -69,11 +83,15 @@ def build_step():
         inputs["erp"] = augment_temporal(k_aug, zscore(inputs["erp"]))
         inputs["pw"] = augment_temporal(
             jax.random.fold_in(k_aug, 1), zscore(inputs["pw"]))
+        # bf16 compute, f32 master params (mirrors train/fit.py)
         out, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats}, **inputs,
+            {"params": cast(params), "batch_stats": batch_stats},
+            **cast(inputs),
             train=True, rngs={"dropout": k_drop}, mutable=["batch_stats"],
         )
-        return cross_entropy(out.logits, batch["label"]), mut["batch_stats"]
+        new_bs = jax.tree_util.tree_map(
+            lambda n, o: n.astype(o.dtype), mut["batch_stats"], batch_stats)
+        return cross_entropy(out.logits, batch["label"]), new_bs
 
     def step(carry, rng):
         params, batch_stats, opt_state = carry

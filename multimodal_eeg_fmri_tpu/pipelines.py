@@ -200,10 +200,13 @@ def run_fmri_experiment(
     cfg: Optional[ExperimentConfig] = None,
     data: Optional[Dict[str, np.ndarray]] = None,
     export: bool = True,
+    with_loso: bool = False,
     mesh_plan=None,
 ) -> Dict[str, Any]:
     """3-model fMRI comparison: classification + (when labels exist)
-    regression, leakage-free val split protocol."""
+    regression, leakage-free val split protocol. ``with_loso`` adds the
+    leave-one-subject-out evaluation (reference
+    ``run_fmri_loso_evaluation``, ``CrossModal_fmri_scr.ipynb §12``)."""
     cfg = cfg or ExperimentConfig()
     seed_everything(cfg.train.seed)
     data = data if data is not None else load_or_synthesize_fmri(cfg)
@@ -253,6 +256,20 @@ def run_fmri_experiment(
         for name, r in out["regression"].items():
             logger.info("fMRI regression %s: %s", name,
                         {k: f"{m:.4f}" for k, (m, _) in r.summary.items()})
+
+    if with_loso:
+        loso = run_cv(models["fusion"], cfg.train, cls_data,
+                      loso_splits(cls_data, cfg.train),
+                      normalize="feature",
+                      normalize_keys=("activation", "connectivity"),
+                      mesh_plan=mesh_plan)
+        votes = subject_level_votes(loso)
+        labels = {int(s): int(l) for s, l in zip(cls_data["subject"],
+                                                 cls_data["label"])}
+        acc = float(np.mean([votes[s] == labels[s] for s in votes]))
+        out["loso"] = {"votes": votes, "subject_accuracy": acc,
+                       "result": loso}
+        logger.info("fMRI LOSO subject-level accuracy: %.4f", acc)
 
     out["export_paths"] = _maybe_export(results, cfg, "fmri", export)
     return out

@@ -166,7 +166,23 @@ def make_fit_fn(
     target_key = "label"
     metric_mode_max = cfg.selection != "train_loss"
 
+    # mixed precision: master params stay f32 for AdamW; forward/backward
+    # run in bf16 (MXU-native). Casts are inserted inside the loss so the
+    # gradient of the cast returns f32 grads automatically. Norm running
+    # stats stay f32.
+    mp_dtype = (jnp.bfloat16 if getattr(cfg, "compute_dtype", "") ==
+                "bfloat16" else None)
+
+    def _mp_cast(tree):
+        if mp_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(mp_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
     def _apply_train(params, batch_stats, batch, rng):
+        params = _mp_cast(params)
+        batch = {**batch, **_mp_cast(split_batch(batch))}
         inputs = split_batch(batch)
         variables = {"params": params}
         mutable = []
@@ -181,7 +197,13 @@ def make_fit_fn(
                         rngs={"dropout": rng}),
             {},
         )
-        return out, mut.get("batch_stats", batch_stats)
+        new_bs = mut.get("batch_stats", batch_stats)
+        if mp_dtype is not None and batch_stats:
+            # keep running stats at the master dtype so the scan carry's
+            # dtypes are invariant across steps
+            new_bs = jax.tree_util.tree_map(
+                lambda n, o: n.astype(o.dtype), new_bs, batch_stats)
+        return out, new_bs
 
     def _apply_eval(params, batch_stats, batch):
         inputs = split_batch(batch)
