@@ -31,6 +31,10 @@ def build_step():
     import jax.numpy as jnp
     import optax
 
+    from multimodal_eeg_fmri_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from multimodal_eeg_fmri_tpu.models import MultimodalEndToEnd
     from multimodal_eeg_fmri_tpu.ops.augment import augment_temporal
     from multimodal_eeg_fmri_tpu.ops.losses import cross_entropy

@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+from multimodal_eeg_fmri_tpu.core.cache import enable_compilation_cache
 from multimodal_eeg_fmri_tpu.core.config import ExperimentConfig, TrainConfig
 from multimodal_eeg_fmri_tpu.core.logging import get_logger
 from multimodal_eeg_fmri_tpu.core.rng import seed_everything
@@ -140,6 +141,7 @@ def run_eeg_experiment(
     """4-model EEG comparison over subject-grouped stratified 5-fold CV,
     plus LOSO subject voting, stats and late fusion."""
     cfg = cfg or ExperimentConfig()
+    enable_compilation_cache()
     seed_everything(cfg.train.seed)
     data = data if data is not None else load_or_synthesize_eeg(cfg)
 
@@ -208,6 +210,7 @@ def run_fmri_experiment(
     leave-one-subject-out evaluation (reference
     ``run_fmri_loso_evaluation``, ``CrossModal_fmri_scr.ipynb §12``)."""
     cfg = cfg or ExperimentConfig()
+    enable_compilation_cache()
     seed_everything(cfg.train.seed)
     data = data if data is not None else load_or_synthesize_fmri(cfg)
     f = cfg.fmri
@@ -295,6 +298,7 @@ def run_bridge_experiment(
     from multimodal_eeg_fmri_tpu.train.fit import make_fit_fn
 
     cfg = cfg or ExperimentConfig()
+    enable_compilation_cache()
     seed_everything(cfg.train.seed)
     eeg_data = (eeg_data if eeg_data is not None
                 else load_or_synthesize_eeg(cfg))
@@ -361,6 +365,7 @@ def run_lite_training(
     """The lite k-fold loop (BASELINE config #1): V4-Lite tri-modal,
     label-smoothing CE + warmup-cosine + early stopping."""
     cfg = cfg or ExperimentConfig()
+    enable_compilation_cache()
     seed_everything(cfg.train.seed)
     data = data if data is not None else load_or_synthesize_eeg(cfg)
     lite_cfg = dataclasses.replace(

@@ -83,11 +83,14 @@ def binary_classification_metrics(
     preds = jnp.argmax(logits, axis=-1)
     probs1 = _softmax(logits)[:, 1]
     p, r, f1 = precision_recall_f1(preds, labels, weights)
+    w = _w(weights, labels.shape[0])
+    _, fp, _, tn = _binary_counts(preds, labels, w)
     return {
         "accuracy": accuracy(preds, labels, weights),
         "f1": f1,
         "precision": p,
-        "recall": r,
+        "recall": r,  # == sensitivity (the reference's LOSO term)
+        "specificity": tn / jnp.maximum(tn + fp, 1e-8),
         "auc": auc_roc(probs1, labels, weights),
     }
 

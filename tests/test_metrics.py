@@ -46,6 +46,9 @@ def test_classification_metrics_match_sklearn(case):
         recall_score(labels, preds, zero_division=0), abs=1e-5)
     assert float(m["auc"]) == pytest.approx(
         roc_auc_score(labels, probs1), abs=1e-5)
+    # specificity == recall of the negative class
+    assert float(m["specificity"]) == pytest.approx(
+        recall_score(1 - labels, 1 - preds, zero_division=0), abs=1e-5)
 
 
 def test_auc_with_ties_matches_sklearn():

@@ -10,9 +10,16 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_enable_x64", True)
-
 from multimodal_eeg_fmri_tpu.ops import signal as S
+
+
+@pytest.fixture(autouse=True)
+def _x64():
+    """Enable float64 ONLY within these oracle-parity tests. A module-level
+    config update would leak into every other test in the session (pytest
+    imports all modules at collection) and perturb their numerics."""
+    with jax.enable_x64():
+        yield
 
 
 @pytest.fixture(scope="module")
