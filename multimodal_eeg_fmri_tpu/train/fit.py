@@ -136,6 +136,7 @@ def make_fit_fn(
     eval_names: Tuple[str, ...] = ("val", "test"),
     loss_kwargs: Optional[dict] = None,
     augment: Optional[Callable] = None,
+    preprocess: Optional[Callable] = None,
     donate: bool = True,
 ) -> Callable[..., FitResult]:
     """Build a jitted ``fit(rng, train_data, eval_sets, class_weights)``.
@@ -182,6 +183,12 @@ def make_fit_fn(
 
     def _apply_train(params, batch_stats, batch, rng):
         params = _mp_cast(params)
+        if preprocess is not None:
+            # deterministic on-device preprocessing (z-score, band-pass,
+            # spectrograms, …) fused into the compiled step — the BASELINE
+            # "host NumPy/SciPy work disappears" hook; applied identically
+            # at eval time below.
+            batch = {**batch, **preprocess(split_batch(batch))}
         batch = {**batch, **_mp_cast(split_batch(batch))}
         inputs = split_batch(batch)
         variables = {"params": params}
@@ -206,6 +213,8 @@ def make_fit_fn(
         return out, new_bs
 
     def _apply_eval(params, batch_stats, batch):
+        if preprocess is not None:
+            batch = {**batch, **preprocess(split_batch(batch))}
         inputs = split_batch(batch)
         variables = {"params": params}
         if batch_stats:
