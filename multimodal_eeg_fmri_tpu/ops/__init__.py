@@ -8,9 +8,11 @@ from multimodal_eeg_fmri_tpu.ops.losses import (
     mse_loss,
 )
 from multimodal_eeg_fmri_tpu.ops.schedules import (
-    warmup_cosine_schedule,
+    EarlyStopping,
     ReduceLROnPlateau,
+    warmup_cosine_schedule,
 )
+from multimodal_eeg_fmri_tpu.ops.augment import augment_temporal, make_eeg_augment
 
 __all__ = [
     "cross_entropy",
@@ -20,4 +22,7 @@ __all__ = [
     "mse_loss",
     "warmup_cosine_schedule",
     "ReduceLROnPlateau",
+    "EarlyStopping",
+    "augment_temporal",
+    "make_eeg_augment",
 ]
