@@ -15,7 +15,7 @@ from flax import linen as nn
 
 from multimodal_eeg_fmri_tpu.models.eeg import ModelOutput
 from multimodal_eeg_fmri_tpu.models.fusion import LearnedFusion
-from multimodal_eeg_fmri_tpu.models.layers import MultiHeadAttention
+from multimodal_eeg_fmri_tpu.models.layers import gelu, MultiHeadAttention
 
 
 class _Proj(nn.Module):
@@ -26,7 +26,7 @@ class _Proj(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.bridge_dim, name="dense")(x)
         x = nn.LayerNorm(name="ln")(x)
-        x = nn.gelu(x)
+        x = gelu(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 

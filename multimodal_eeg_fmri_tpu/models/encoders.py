@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_eeg_fmri_tpu.models.layers import (
+    gelu,
     MLP,
     PositionalEncoding,
     TransformerBlock,
@@ -49,7 +50,7 @@ class ConvBNBlock(nn.Module):
         x = nn.Conv(self.features, (self.kernel_size,), padding="SAME",
                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
-        x = nn.gelu(x)
+        x = gelu(x)
         if self.dropout:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -90,7 +91,7 @@ class ERPEncoder(nn.Module):
 
         x = jnp.mean(x, axis=1)  # adaptive-avg-pool over time
         x = nn.Dense(self.hidden_dim, name="proj")(x)
-        x = nn.gelu(x)
+        x = gelu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -132,7 +133,7 @@ class MultiScaleConv(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
         ) + bias
         y = nn.BatchNorm(use_running_average=not train, name="bn")(y)
-        return nn.gelu(y)
+        return gelu(y)
 
 
 class PowerEncoder(nn.Module):
@@ -159,7 +160,7 @@ class PowerEncoder(nn.Module):
             )(x, train=train)
         x = jnp.mean(x, axis=1)
         x = nn.Dense(self.hidden_dim, name="proj")(x)
-        x = nn.gelu(x)
+        x = gelu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -179,7 +180,7 @@ class LiteERPEncoder(nn.Module):
         )
         x = jnp.mean(x, axis=1)
         x = nn.Dense(self.hidden_dim, name="proj")(x)
-        x = nn.gelu(x)
+        x = gelu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -199,7 +200,7 @@ class LitePowerEncoder(nn.Module):
         )
         x = jnp.mean(x, axis=1)
         x = nn.Dense(self.hidden_dim, name="proj")(x)
-        x = nn.gelu(x)
+        x = gelu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -296,7 +297,7 @@ class GraphConnEncoder(nn.Module):
 
         g = jnp.mean(h, axis=1)  # global mean pool over nodes
         g = nn.Dense(self.hidden_dim, name="proj")(g)
-        g = nn.gelu(g)
+        g = gelu(g)
         return nn.Dropout(self.dropout, deterministic=not train)(g)
 
 

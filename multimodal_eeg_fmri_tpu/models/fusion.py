@@ -17,7 +17,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multimodal_eeg_fmri_tpu.models.layers import MLP, MultiHeadAttention
+from multimodal_eeg_fmri_tpu.models.layers import gelu, MLP, MultiHeadAttention
 
 
 class LearnedFusion(nn.Module):
@@ -55,7 +55,7 @@ class LearnedFusion(nn.Module):
 
         concat = jnp.concatenate(feats, axis=-1)
         gate = nn.Dense(self.hidden_dim, name="gate1")(concat)
-        gate = nn.gelu(gate)
+        gate = gelu(gate)
         gate = nn.Dropout(0.2, deterministic=not train)(gate)
         gate = nn.Dense(self.num_modalities, name="gate2")(gate)
         dynamic_w = nn.softmax(gate / temp, axis=-1)  # (B, M)
@@ -139,7 +139,7 @@ class HybridFusion(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         gate_in = jnp.concatenate([erp, pw], axis=-1)
         g = nn.Dense(self.hidden_dim, name="gate1")(gate_in)
-        g = nn.gelu(g)
+        g = gelu(g)
         g = nn.Dropout(self.dropout, deterministic=not train)(g)
         g = nn.Dense(2, name="gate2")(g)
         g = nn.softmax(g, axis=-1)  # (B, 2)

@@ -19,11 +19,17 @@ Blocks mirror the reference inventory (SURVEY §2.2):
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# exact (erf) GELU — torch's default and therefore the reference's
+# semantics; flax's nn.gelu defaults to the tanh approximation, which
+# diverges from torch by ~1e-3 (caught by tests/test_torch_parity.py).
+gelu = partial(nn.gelu, approximate=False)
 
 
 def sinusoidal_position_encoding(length: int, d_model: int,
@@ -153,7 +159,7 @@ class TransformerBlock(nn.Module):
 
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(ff, name="ffn1")(y)
-        y = nn.gelu(y)
+        y = gelu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.d_model, name="ffn2")(y)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -186,7 +192,7 @@ class MLP(nn.Module):
     features: Sequence[int]
     dropout: float = 0.0
     norm: str = "batch"
-    activation: Callable = nn.gelu
+    activation: Callable = gelu
     final_activation: bool = True
 
     @nn.compact
@@ -215,7 +221,7 @@ class ClassifierHead(nn.Module):
     num_classes: int
     dropout: float = 0.3
     norm: str = "batch"
-    activation: Callable = nn.gelu
+    activation: Callable = gelu
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
