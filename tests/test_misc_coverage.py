@@ -1,0 +1,151 @@
+"""Coverage batch: plots smoke, golden-metric replay, selection='test'
+policy, end-to-end multimodal model with frozen-encoder mode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+from multimodal_eeg_fmri_tpu.data.arrays import pad_rows, subset
+from multimodal_eeg_fmri_tpu.data.synthetic import (
+    synthetic_bridge,
+    synthetic_eeg_trimodal,
+    synthetic_fmri,
+)
+from multimodal_eeg_fmri_tpu.models import (
+    BridgeFusionNet,
+    MultimodalEndToEnd,
+    TriModalFusionNetV4Lite,
+)
+from multimodal_eeg_fmri_tpu.train.fit import make_fit_fn
+
+
+def _dev(t):
+    return jax.tree_util.tree_map(jnp.asarray, t)
+
+
+def test_plots_smoke(tmp_path):
+    from multimodal_eeg_fmri_tpu.report import plots
+    from multimodal_eeg_fmri_tpu.xai.analysis import (
+        channel_importance_from_attribution,
+    )
+
+    r = np.random.default_rng(0)
+
+    class FakeCV:
+        fold_metrics = {"f1": np.asarray([0.6, 0.7, 0.65]),
+                        "accuracy": np.asarray([0.6, 0.72, 0.66])}
+        summary = {"f1": (0.65, 0.04), "accuracy": (0.66, 0.05)}
+        history = {"train_loss": r.random((3, 10))}
+
+    res = FakeCV()
+    assert plots.plot_model_comparison({"a": res, "b": res},
+                                       path=tmp_path / "cmp.png").exists()
+    assert plots.plot_fold_metrics(res, path=tmp_path / "folds.png").exists()
+    assert plots.plot_training_history(res, path=tmp_path / "h.png").exists()
+    assert plots.plot_fusion_weights(r.random((5, 3)), ["erp", "pw", "conn"],
+                                     tmp_path / "fw.png").exists()
+    probs1 = r.random(30)
+    labels = r.integers(0, 2, 30)
+    assert plots.plot_roc(probs1, labels, tmp_path / "roc.png").exists()
+    assert plots.plot_confusion((probs1 > 0.5).astype(int), labels,
+                                tmp_path / "cm.png").exists()
+    assert plots.plot_tsne_embeddings(r.random((30, 8)), labels,
+                                      tmp_path / "tsne.png").exists()
+    ci = channel_importance_from_attribution(r.random((4, 16, 18)))
+    assert plots.plot_channel_importance(ci, tmp_path / "ch.png").exists()
+    assert plots.plot_topomap(ci, tmp_path / "topo.png").exists()
+    assert plots.plot_region_radar(ci, tmp_path / "radar.png").exists()
+    assert plots.plot_connectivity_matrix(
+        r.random((18, 18)), ci.channel_names, tmp_path / "conn.png").exists()
+
+
+def test_golden_metric_replay():
+    """Frozen seed + data + config must reproduce the same selected metric
+    across two independent compiles (regression guard for refactors)."""
+    data = synthetic_bridge(n_subjects=12, separation=1.5, seed=4)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(8)), 8)
+    val = pad_rows(subset(data, np.arange(8, 12)), 4)
+    cfg = TrainConfig(batch_size=4, num_epochs=5, learning_rate=2e-3,
+                      schedule="constant", selection="val", patience=100)
+
+    def run():
+        fit = jax.jit(make_fit_fn(BridgeFusionNet(bridge_dim=16), cfg,
+                                  eval_names=("val",)))
+        r = fit(jax.random.key(0), _dev(train), {"val": _dev(val)}, None)
+        return float(r.best_metric), np.asarray(r.history["train_loss"])
+
+    m1, h1 = run()
+    m2, h2 = run()
+    assert m1 == m2
+    np.testing.assert_array_equal(h1, h2)
+
+
+def test_selection_on_test_policy():
+    """TrainConfig.selection='test' reproduces the reference EEG k-fold
+    behavior (model selection on the test loader — SURVEY §2.5)."""
+    data = synthetic_eeg_trimodal(n_subjects=16, time_steps=32,
+                                  separation=1.5, seed=5)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(12)), 12)
+    test = pad_rows(subset(data, np.arange(12, 16)), 4)
+    cfg = TrainConfig(batch_size=4, num_epochs=5, learning_rate=2e-3,
+                      schedule="constant", selection="test", patience=100)
+    fit = jax.jit(make_fit_fn(TriModalFusionNetV4Lite(hidden_dim=16), cfg,
+                              eval_names=("test",)))
+    res = fit(jax.random.key(0), _dev(train), {"test": _dev(test)}, None)
+    hist = np.asarray(res.history["test_f1"])
+    assert float(res.best_metric) == pytest.approx(hist.max(), abs=1e-6)
+
+
+def test_multimodal_end_to_end_and_frozen():
+    eeg = synthetic_eeg_trimodal(n_subjects=8, time_steps=32,
+                                 separation=2.0, seed=6)
+    fmri = synthetic_fmri(n_subjects=8, separation=2.0, seed=6)
+    data = {
+        "erp": eeg["erp"], "pw": eeg["pw"], "conn": eeg["conn"],
+        "activation": fmri["activation"], "connectivity": fmri["connectivity"],
+        "label": eeg["label"],
+    }
+    train = pad_rows(data, 8)
+    cfg = TrainConfig(batch_size=4, num_epochs=10, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    model = MultimodalEndToEnd(eeg_hidden_dim=32, fmri_hidden_dim=16,
+                               bridge_dim=32, num_transformer_layers=1)
+    fit = jax.jit(make_fit_fn(model, cfg, eval_names=()))
+    res = fit(jax.random.key(0), _dev(train), {}, None)
+    hist = np.asarray(res.history["train_loss"])
+    # 8 samples / batch 4 / dropout 0.3 ⇒ the loss series is extremely
+    # noisy; assert the optimizer makes progress (best epoch clearly below
+    # start) rather than any trend of the raw series. Best-state selection
+    # (selection='train_loss') is what the framework returns anyway.
+    assert np.isfinite(hist).all()
+    assert hist.min() < hist[0] * 0.9
+
+    # frozen-encoder mode: encoder params receive zero gradient
+    frozen = MultimodalEndToEnd(eeg_hidden_dim=32, fmri_hidden_dim=16,
+                                bridge_dim=32, num_transformer_layers=1,
+                                freeze_encoders=True)
+    variables = frozen.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        **{k: jnp.asarray(v) for k, v in data.items() if k != "label"},
+        train=False)
+
+    def loss(params):
+        out = frozen.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            **{k: jnp.asarray(v) for k, v in data.items() if k != "label"},
+            train=False)
+        return jnp.sum(out.logits ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    eeg_gnorm = sum(float(jnp.sum(jnp.abs(x)))
+                    for x in jax.tree_util.tree_leaves(g["eeg"]))
+    bridge_gnorm = sum(float(jnp.sum(jnp.abs(x)))
+                       for x in jax.tree_util.tree_leaves(g["bridge"]))
+    assert eeg_gnorm == 0.0
+    assert bridge_gnorm > 0.0
