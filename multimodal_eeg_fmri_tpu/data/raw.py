@@ -18,7 +18,6 @@ Everything is one jitted function of the raw batch; shapes are static per
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Mapping, Optional, Tuple
 
 import jax

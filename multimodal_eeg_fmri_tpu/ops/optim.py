@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 

@@ -20,8 +20,6 @@ within float tolerance.
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

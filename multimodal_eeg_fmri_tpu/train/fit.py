@@ -28,7 +28,6 @@ cross-validation folds / HPO trials / ensemble members ``vmap`` over it
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 

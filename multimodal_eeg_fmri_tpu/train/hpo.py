@@ -23,7 +23,6 @@ TPU-native design: trials are another ensemble axis.
 
 from __future__ import annotations
 
-import itertools
 import math
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple

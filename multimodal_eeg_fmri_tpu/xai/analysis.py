@@ -10,7 +10,7 @@ weights with class-wise comparison, ``_test_bridge.py:1250-1311``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -9,7 +9,6 @@ are provided for other caps.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Tuple
 
 # 10-20 system, 19 scalp electrodes (old nomenclature T3/T4/T5/T6)
