@@ -5,9 +5,13 @@ leaves) dominates the fused train step. Head-to-head on v5e (batch 8,
 MultimodalEndToEnd, 100-step scan, best of 4): fwd+bwd 0.83 ms; + optax
 AdamW 1.91 ms; + THIS fused version 3.05 ms. The ravel/unravel concat and
 slice passes cost MORE than the per-leaf kernels at this parameter count,
-so the compiled fit keeps optax (train/fit.py). Retained because (a) the
-trade flips for much larger leaf counts, and (b) it is an exact,
-torch-parity-tested AdamW reference (tests/test_torch_parity.py).
+so the compiled fit keeps optax (train/fit.py). A third variant — flat-
+NATIVE params (unravel once inside the forward, optimizer on the flat
+vector) — was also measured: 2.40 ms/step; the unravel's 200 slices in the
+forward plus its concat transpose in the backward again outweigh the
+per-leaf optimizer kernels. Retained because (a) the trade flips for much
+larger leaf counts, and (b) it is an exact, torch-parity-tested AdamW
+reference (tests/test_torch_parity.py).
 
 Semantics match ``torch.optim.AdamW`` exactly (decoupled wd applied to all
 params, bias-corrected moments, clip on the raw gradient). LR and weight

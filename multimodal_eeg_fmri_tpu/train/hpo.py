@@ -201,3 +201,89 @@ def run_hpo(
         trials=trials,
         rung_scores=[scores1, scores2],
     )
+
+
+# ---------------------------------------------------------------------------
+# Optional Optuna backend (reference API parity)
+# ---------------------------------------------------------------------------
+
+def run_hpo_optuna(
+    model_builder: Callable[..., Any],
+    base_cfg: TrainConfig,
+    train_data: Dict[str, np.ndarray],
+    val_data: Dict[str, np.ndarray],
+    space: Optional[SearchSpace] = None,
+    n_trials: int = 50,
+    timeout: Optional[int] = 3600,
+    proxy_epochs: int = 10,
+    seed: int = 0,
+    class_weights: Optional[np.ndarray] = None,
+    metric: str = "f1",
+) -> HPOResult:
+    """Optuna TPE + MedianPruner study over the same search space — the
+    reference's ``OptunaHPOTrainer`` interface (``enhanced_models_v4.py:664-817``).
+
+    Optional backend: raises ImportError with guidance when optuna is not
+    installed (the default quasi-random ``run_hpo`` engine needs nothing and
+    additionally trains same-architecture trials in parallel). Each trial is
+    one compiled proxy run; the per-epoch val series feeds
+    ``trial.report`` so the MedianPruner can stop bad trials.
+    """
+    try:
+        import optuna
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "optuna is not installed; use train.hpo.run_hpo (the built-in "
+            "vmapped quasi-random engine) or install optuna for this backend"
+        ) from e
+
+    import dataclasses
+
+    space = space or DEFAULT_SPACE
+    dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    train_dev, val_dev = dev(train_data), dev(val_data)
+    cw = jnp.asarray(class_weights) if class_weights is not None else None
+    cfg = dataclasses.replace(base_cfg, num_epochs=proxy_epochs,
+                              selection="val")
+    trials_out: List[Dict[str, Any]] = []
+
+    def objective(trial):
+        params: Dict[str, Any] = {}
+        for name, spec in space.items():
+            if isinstance(spec, LogUniform):
+                params[name] = trial.suggest_float(name, spec.lo, spec.hi,
+                                                   log=True)
+            elif isinstance(spec, Uniform):
+                params[name] = trial.suggest_float(name, spec.lo, spec.hi)
+            elif isinstance(spec, Choice):
+                params[name] = trial.suggest_categorical(
+                    name, list(spec.options))
+        arch = {k: v for k, v in params.items() if k not in OPT_KEYS}
+        model = model_builder(**arch)
+        fit_fn = jax.jit(make_fit_fn(model, cfg, eval_names=("val",)))
+        res = fit_fn(jax.random.fold_in(jax.random.key(seed), trial.number),
+                     train_dev, {"val": val_dev}, cw,
+                     {"lr": params.get("lr", cfg.learning_rate),
+                      "wd": params.get("wd", cfg.weight_decay)})
+        series = np.asarray(res.history[f"val_{metric}"])
+        for epoch, v in enumerate(series):
+            trial.report(float(v), epoch)
+            if trial.should_prune():
+                raise optuna.TrialPruned()
+        score = float(series.max())
+        trials_out.append({**params, "score": score})
+        return score
+
+    study = optuna.create_study(
+        direction="maximize",
+        sampler=optuna.samplers.TPESampler(seed=seed),
+        pruner=optuna.pruners.MedianPruner(n_startup_trials=5,
+                                           n_warmup_steps=5),
+    )
+    study.optimize(objective, n_trials=n_trials, timeout=timeout,
+                   show_progress_bar=False)
+    return HPOResult(
+        best_params=dict(study.best_params),
+        best_score=float(study.best_value),
+        trials=trials_out,
+    )
