@@ -11,6 +11,15 @@ from multimodal_eeg_fmri_tpu.core.config import (
 )
 from multimodal_eeg_fmri_tpu.core.rng import RngStream, seed_everything
 from multimodal_eeg_fmri_tpu.core.logging import get_logger, MetricsLogger
+from multimodal_eeg_fmri_tpu.core.cache import enable_compilation_cache
+from multimodal_eeg_fmri_tpu.core.checkpoint import (
+    export_frozen_encoder,
+    find_best_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from multimodal_eeg_fmri_tpu.core.determinism import run_twice_and_compare
+from multimodal_eeg_fmri_tpu.core.profiling import StepTimer, annotate, trace
 
 __all__ = [
     "BridgeConfig",
@@ -24,4 +33,13 @@ __all__ = [
     "seed_everything",
     "get_logger",
     "MetricsLogger",
+    "enable_compilation_cache",
+    "save_checkpoint",
+    "load_checkpoint",
+    "export_frozen_encoder",
+    "find_best_checkpoint",
+    "run_twice_and_compare",
+    "StepTimer",
+    "annotate",
+    "trace",
 ]

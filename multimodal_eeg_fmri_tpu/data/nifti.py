@@ -1,0 +1,153 @@
+"""Minimal NIfTI-1 volume I/O + the fMRI volume→features pipeline.
+
+The reference consumes ROI features from precomputed CSVs; the BASELINE
+north star asks for the upstream stage on device ("fMRI volume pipeline:
+normalization + ROI timeseries extraction"). nibabel is not available in
+this environment, and the NIfTI-1 container is simple (fixed 348-byte
+header + raw array, optional gzip), so the framework carries its own
+reader/writer for the subset that matters: single-file ``.nii``/``.nii.gz``,
+scalar dtypes, scl_slope/scl_inter scaling, Fortran voxel order.
+
+``volumes_to_roi_features`` then runs the device pipeline: per-volume
+z-scoring (ops/signal.normalize_volumes) → ROI membership matmul
+(roi_timeseries, MXU) → mean/std aggregation — producing the same
+activation-feature vectors the reference loads from
+``subject_N_activation_{type}.csv``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# NIfTI-1 datatype codes → numpy dtypes (the common scalar subset)
+_DTYPES = {
+    2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32,
+    64: np.float64, 256: np.int8, 512: np.uint16, 768: np.uint32,
+}
+_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def read_nifti(path: str | Path) -> Tuple[np.ndarray, Dict]:
+    """Read a .nii / .nii.gz volume → (data, header dict).
+
+    Data comes back as float32 with scl_slope/scl_inter applied, shaped
+    (X, Y, Z[, T]) in Fortran voxel order like nibabel's get_fdata.
+    """
+    path = Path(path)
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as f:
+        raw = f.read()
+
+    sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
+    byteorder = "<"
+    if sizeof_hdr != 348:
+        sizeof_hdr = struct.unpack_from(">i", raw, 0)[0]
+        if sizeof_hdr != 348:
+            raise ValueError(f"{path}: not a NIfTI-1 file")
+        byteorder = ">"
+
+    dim = struct.unpack_from(f"{byteorder}8h", raw, 40)
+    ndim = dim[0]
+    shape = tuple(int(d) for d in dim[1 : 1 + ndim])
+    datatype = struct.unpack_from(f"{byteorder}h", raw, 70)[0]
+    if datatype not in _DTYPES:
+        raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
+    scl_slope = struct.unpack_from(f"{byteorder}f", raw, 112)[0]
+    scl_inter = struct.unpack_from(f"{byteorder}f", raw, 116)[0]
+    vox_offset = int(struct.unpack_from(f"{byteorder}f", raw, 108)[0])
+    magic = raw[344:348]
+    if not magic.startswith((b"n+1", b"ni1")):
+        raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
+
+    dtype = np.dtype(_DTYPES[datatype]).newbyteorder(byteorder)
+    count = int(np.prod(shape))
+    data = np.frombuffer(raw, dtype=dtype, count=count,
+                         offset=vox_offset or 352)
+    data = data.reshape(shape, order="F").astype(np.float32)
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        slope = scl_slope if scl_slope != 0.0 else 1.0
+        data = data * slope + scl_inter
+    header = {"shape": shape, "datatype": datatype,
+              "scl_slope": scl_slope, "scl_inter": scl_inter}
+    return data, header
+
+
+def write_nifti(path: str | Path, data: np.ndarray) -> Path:
+    """Write a minimal single-file NIfTI-1 (.nii or .nii.gz)."""
+    path = Path(path)
+    data = np.asarray(data)
+    if data.dtype not in _CODES:
+        data = data.astype(np.float32)
+    code = _CODES[np.dtype(data.dtype)]
+
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)
+    dim = [data.ndim] + list(data.shape) + [1] * (7 - data.ndim)
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, code)
+    struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)  # bitpix
+    pixdim = [1.0] * 8
+    struct.pack_into("<8f", hdr, 76, *pixdim)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)    # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)    # scl_inter
+    hdr[344:348] = b"n+1\x00"
+
+    payload = bytes(hdr) + data.tobytes(order="F")
+    if path.suffix == ".gz":
+        with gzip.open(path, "wb") as f:
+            f.write(payload)
+    else:
+        path.write_bytes(payload)
+    return path
+
+
+def volumes_to_roi_features(
+    bold: np.ndarray,        # (X, Y, Z, T) or (T, X, Y, Z) BOLD series
+    atlas: np.ndarray,       # (X, Y, Z) integer ROI labels, 0 = background
+    n_rois: Optional[int] = None,
+    agg_method: str = "both",
+    time_last: bool = True,
+) -> np.ndarray:
+    """Device pipeline: normalize volumes → ROI mean time series (one-hot
+    matmul on the MXU) → mean/std aggregation. Returns the activation
+    feature vector matching the reference's per-subject CSV rows."""
+    import jax.numpy as jnp
+
+    from multimodal_eeg_fmri_tpu.ops.signal import (
+        roi_aggregate,
+        roi_onehot,
+        roi_timeseries,
+        zscore,
+    )
+
+    bold = np.asarray(bold, np.float32)
+    if time_last:
+        bold = np.moveaxis(bold, -1, 0)  # → (T, X, Y, Z)
+    T = bold.shape[0]
+    flat = bold.reshape(T, -1)
+    labels = np.asarray(atlas).reshape(-1)
+    n_rois = n_rois or int(labels.max())
+    membership = roi_onehot(labels, n_rois)
+
+    x = zscore(jnp.asarray(flat), axis=-1)          # per-volume normalize
+    ts = roi_timeseries(x, jnp.asarray(membership))  # (T, R)
+    feats = roi_aggregate(ts, agg_method)
+    return np.asarray(feats)
+
+
+def load_subject_volume_features(
+    nii_path: str | Path,
+    atlas_path: str | Path,
+    agg_method: str = "both",
+) -> np.ndarray:
+    """One subject: BOLD NIfTI + atlas NIfTI → activation feature vector."""
+    bold, _ = read_nifti(nii_path)
+    atlas, _ = read_nifti(atlas_path)
+    return volumes_to_roi_features(bold, atlas.astype(np.int32),
+                                   agg_method=agg_method)

@@ -104,46 +104,3 @@ class EarlyStopping:
             if self.counter >= self.patience:
                 self.should_stop = True
         return self.should_stop
-
-
-def make_optimizer(
-    learning_rate,
-    weight_decay: float = 0.0,
-    grad_clip: float = 0.0,
-) -> optax.GradientTransformation:
-    """AdamW + global-norm clipping — the reference's optimizer everywhere
-    (AdamW, clip 1.0; e.g. ``CrossModal_EEG_scr.ipynb §23``).
-
-    ``learning_rate`` may be a float, an optax schedule, or a schedule that
-    additionally reads a plateau scale via ``optax.inject_hyperparams``
-    upstream. The LR scale for plateau mode is applied by wrapping with
-    ``optax.scale_by_learning_rate`` outside.
-    """
-    txs = []
-    if grad_clip and grad_clip > 0:
-        txs.append(optax.clip_by_global_norm(grad_clip))
-    txs.append(optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay))
-    return optax.chain(*txs)
-
-
-def make_plateau_optimizer(
-    base_lr: float,
-    weight_decay: float = 0.0,
-    grad_clip: float = 0.0,
-) -> optax.GradientTransformation:
-    """AdamW whose LR = base_lr * lr_scale where ``lr_scale`` is a runtime
-    hyperparameter (set per-epoch by ``ReduceLROnPlateau`` without
-    recompilation). Access via ``opt_state.hyperparams['lr_scale']``."""
-
-    @optax.inject_hyperparams
-    def _make(lr_scale):
-        txs = []
-        if grad_clip and grad_clip > 0:
-            txs.append(optax.clip_by_global_norm(grad_clip))
-        txs.append(
-            optax.adamw(learning_rate=base_lr, weight_decay=weight_decay)
-        )
-        txs.append(optax.scale(lr_scale))
-        return optax.chain(*txs)
-
-    return _make(lr_scale=1.0)
