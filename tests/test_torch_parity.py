@@ -100,6 +100,58 @@ def test_multihead_attention_matches_torch():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_transformer_block_matches_torch():
+    """TransformerBlock == torch TransformerEncoderLayer(norm_first=True,
+    gelu) with the same weights — the core temporal-modeling op."""
+    from multimodal_eeg_fmri_tpu.models.layers import TransformerBlock
+
+    B, T, D, H = 2, 7, 16, 4
+    r = np.random.default_rng(3)
+    x = r.standard_normal((B, T, D)).astype(np.float32)
+
+    mod = TransformerBlock(d_model=D, num_heads=H, dropout=0.0)
+    variables = mod.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                         train=False)
+    p = variables["params"]
+
+    layer = torch.nn.TransformerEncoderLayer(
+        D, H, dim_feedforward=4 * D, dropout=0.0, activation="gelu",
+        batch_first=True, norm_first=True)
+    with torch.no_grad():
+        ap = p["attn"]
+
+        def dense_to_torch(sub):
+            k = np.asarray(sub["kernel"]).reshape(D, -1)
+            return k.T, np.asarray(sub["bias"]).reshape(-1)
+
+        qk, qb = dense_to_torch(ap["q_proj"])
+        kk, kb = dense_to_torch(ap["k_proj"])
+        vk, vb = dense_to_torch(ap["v_proj"])
+        layer.self_attn.in_proj_weight.copy_(
+            torch.tensor(np.concatenate([qk, kk, vk])))
+        layer.self_attn.in_proj_bias.copy_(
+            torch.tensor(np.concatenate([qb, kb, vb])))
+        ok = np.asarray(ap["out_proj"]["kernel"]).reshape(D, D)
+        layer.self_attn.out_proj.weight.copy_(torch.tensor(ok.T))
+        layer.self_attn.out_proj.bias.copy_(
+            torch.tensor(np.asarray(ap["out_proj"]["bias"])))
+        layer.linear1.weight.copy_(
+            torch.tensor(np.asarray(p["ffn1"]["kernel"]).T))
+        layer.linear1.bias.copy_(torch.tensor(np.asarray(p["ffn1"]["bias"])))
+        layer.linear2.weight.copy_(
+            torch.tensor(np.asarray(p["ffn2"]["kernel"]).T))
+        layer.linear2.bias.copy_(torch.tensor(np.asarray(p["ffn2"]["bias"])))
+        layer.norm1.weight.copy_(torch.tensor(np.asarray(p["norm1"]["scale"])))
+        layer.norm1.bias.copy_(torch.tensor(np.asarray(p["norm1"]["bias"])))
+        layer.norm2.weight.copy_(torch.tensor(np.asarray(p["norm2"]["scale"])))
+        layer.norm2.bias.copy_(torch.tensor(np.asarray(p["norm2"]["bias"])))
+        out_t = layer(torch.tensor(x))
+
+    out_j = mod.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_fused_adamw_matches_torch():
     """The fused flat-vector AdamW (the compiled fit's optimizer) must equal
     torch.optim.AdamW over multiple steps, including the pytree round-trip."""
