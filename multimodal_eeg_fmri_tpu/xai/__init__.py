@@ -14,6 +14,7 @@ from multimodal_eeg_fmri_tpu.xai.montage import (
     REGION_GROUPS,
     channel_region,
 )
+from multimodal_eeg_fmri_tpu.xai.explainer import Explainer, ExplanationResult
 from multimodal_eeg_fmri_tpu.xai.analysis import (
     ChannelImportance,
     channel_importance_from_attribution,
@@ -30,6 +31,8 @@ __all__ = [
     "CHANNEL_POSITIONS",
     "REGION_GROUPS",
     "channel_region",
+    "Explainer",
+    "ExplanationResult",
     "ChannelImportance",
     "channel_importance_from_attribution",
     "extract_attention_and_fusion_weights",

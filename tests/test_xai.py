@@ -173,3 +173,22 @@ def test_attention_fusion_extraction():
     assert recs[0]["fusion_weights"].shape == (2,)
     cw = classwise_weight_comparison(recs)
     assert set(cw) == {"class_0", "class_1"}
+
+
+def test_explainer_analyze_dataset(tmp_path, lite_model):
+    from multimodal_eeg_fmri_tpu.xai.explainer import Explainer
+
+    model, variables, inputs = lite_model
+    ex = Explainer(model, variables["params"], variables.get("batch_stats"),
+                   ig_steps=10)
+    res = ex.analyze_dataset(inputs, tmp_path, metrics={"f1": 0.7})
+    assert res.predictions.shape == (4,)
+    assert res.probs.shape == (4, 2)
+    assert "erp" in res.channel_importance
+    assert res.pair_importance is not None and len(res.pair_importance) == 153
+    assert (tmp_path / "xai_report.txt").exists()
+    assert (tmp_path / "topomap.png").exists()
+    assert (tmp_path / "xai_arrays.npz").exists()
+    import numpy as _np
+    arrs = _np.load(tmp_path / "xai_arrays.npz")
+    assert "ig_erp" in arrs and "saliency_conn" in arrs
