@@ -133,12 +133,15 @@ def run_hpo(
     seed: int = 0,
     class_weights: Optional[np.ndarray] = None,
     metric: str = "f1",
+    mesh_plan=None,
 ) -> HPOResult:
     """Quasi-random search + successive halving.
 
     Rung 1: all trials at ``proxy_epochs`` (the reference's 10-epoch proxy),
     vmapped within architecture groups. Rung 2: top ``top_fraction`` rerun
-    at ``full_epochs``. Maximizes val ``metric``.
+    at ``full_epochs``. Maximizes val ``metric``. With ``mesh_plan`` the
+    trial axis is padded to the mesh's ensemble size and SHARDED over it, so
+    an 8-chip slice runs 8 trials at one trial's wall-clock cost.
     """
     space = space or DEFAULT_SPACE
     trials = sample_trials(space, n_trials, seed)
@@ -164,12 +167,26 @@ def run_hpo(
             cfg = dataclasses.replace(base_cfg, num_epochs=epochs,
                                       selection="val")
             fit_fn = make_fit_fn(model, cfg, eval_names=("val",))
-            lrs = jnp.asarray([rung_trials[i]["lr"] for i in idxs])
+            n_real = len(idxs)
+            n_pad = n_real
+            if mesh_plan is not None:
+                m = mesh_plan.n_ensemble
+                n_pad = ((n_real + m - 1) // m) * m
+            pad_idx = idxs + [idxs[-1]] * (n_pad - n_real)
+            lrs = jnp.asarray([rung_trials[i]["lr"] for i in pad_idx])
             wds = jnp.asarray([rung_trials[i].get("wd", cfg.weight_decay)
-                               for i in idxs])
+                               for i in pad_idx])
             rngs = jax.vmap(
                 lambda i: jax.random.fold_in(jax.random.key(seed), i)
-            )(jnp.arange(len(idxs)))
+            )(jnp.arange(n_pad))
+            if mesh_plan is not None:
+                from multimodal_eeg_fmri_tpu.parallel.mesh import (
+                    ensemble_sharding,
+                )
+
+                shard = lambda x: jax.device_put(
+                    x, ensemble_sharding(mesh_plan, np.ndim(x)))
+                lrs, wds, rngs = shard(lrs), shard(wds), shard(rngs)
             vfit = jax.jit(jax.vmap(
                 fit_fn, in_axes=(0, None, None, None, {"lr": 0, "wd": 0})))
             res = vfit(rngs, train_dev, {"val": val_dev}, cw,

@@ -104,3 +104,29 @@ def test_export_csvs(tmp_path):
     assert p.exists()
     loaded = np.load(p)
     assert loaded["sal"].shape == (2, 3)
+
+
+def test_run_hpo_mesh_sharded():
+    """HPO trials shard over the mesh's ensemble axis (with padding)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 devices")
+    from multimodal_eeg_fmri_tpu.parallel.mesh import build_mesh
+
+    plan = build_mesh(jax.devices()[:8], ensemble=8, data=1)
+    data = synthetic_eeg_trimodal(n_subjects=24, time_steps=32,
+                                  separation=2.0, seed=9)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(16)), 16)
+    val = pad_rows(subset(data, np.arange(16, 24)), 8)
+    space = {"lr": LogUniform(1e-4, 1e-2), "wd": LogUniform(1e-6, 1e-3)}
+    base = TrainConfig(batch_size=8, num_epochs=4, schedule="constant",
+                       patience=100)
+    res = run_hpo(lambda **kw: TriModalFusionNetV4Lite(hidden_dim=16, **kw),
+                  base, train, val, space=space, n_trials=5,  # pads 5 → 8
+                  proxy_epochs=2, full_epochs=4, seed=0, mesh_plan=plan)
+    assert res.best_score > 0.4
+    assert len(res.trials) == 5
