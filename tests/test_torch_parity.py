@@ -187,3 +187,82 @@ def test_fused_adamw_matches_torch():
                                ta.detach().numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(params["b"]["c"]),
                                tc.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_conv_bn_block_matches_torch():
+    """ConvBNBlock == torch Conv1d + BatchNorm1d(eval) + exact GELU with the
+    same weights (channels-last ↔ channels-first transposed)."""
+    from multimodal_eeg_fmri_tpu.models.encoders import ConvBNBlock
+
+    B, T, Cin, Cout, K = 3, 20, 5, 8, 7
+    r = np.random.default_rng(4)
+    x = r.standard_normal((B, T, Cin)).astype(np.float32)
+
+    mod = ConvBNBlock(features=Cout, kernel_size=K, dropout=0.0)
+    variables = mod.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                         train=False)
+    p = variables["params"]
+    bs = variables["batch_stats"]
+
+    conv = torch.nn.Conv1d(Cin, Cout, K, padding=K // 2)
+    bn = torch.nn.BatchNorm1d(Cout).eval()
+    with torch.no_grad():
+        # flax conv kernel (K, Cin, Cout) → torch (Cout, Cin, K)
+        kern = np.asarray(p["conv"]["kernel"]).transpose(2, 1, 0)
+        conv.weight.copy_(torch.tensor(kern))
+        conv.bias.copy_(torch.tensor(np.asarray(p["conv"]["bias"])))
+        bn.weight.copy_(torch.tensor(np.asarray(p["bn"]["scale"])))
+        bn.bias.copy_(torch.tensor(np.asarray(p["bn"]["bias"])))
+        bn.running_mean.copy_(torch.tensor(np.asarray(bs["bn"]["mean"])))
+        bn.running_var.copy_(torch.tensor(np.asarray(bs["bn"]["var"])))
+        xt = torch.tensor(x.transpose(0, 2, 1))  # (B, Cin, T)
+        out_t = torch.nn.functional.gelu(bn(conv(xt)))  # exact gelu
+
+    out_j = mod.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.numpy().transpose(0, 2, 1),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_erp_encoder_v3_conv_stack_matches_torch():
+    """A full V3 conv stack (conv+BN+GELU ×3 with max pools) matches the
+    torch composition — validates pooling alignment and layout end-to-end."""
+    from multimodal_eeg_fmri_tpu.models.encoders import ERPEncoderV3
+
+    B, T, Cin = 2, 32, 6
+    r = np.random.default_rng(5)
+    x = r.standard_normal((B, T, Cin)).astype(np.float32)
+    mod = ERPEncoderV3(hidden_dim=12, dropout=0.0)
+    variables = mod.init({"params": jax.random.key(1)}, jnp.asarray(x),
+                         train=False)
+    p, bs = variables["params"], variables["batch_stats"]
+
+    def torch_block(name, cin, cout, k):
+        conv = torch.nn.Conv1d(cin, cout, k, padding=k // 2)
+        bn = torch.nn.BatchNorm1d(cout).eval()
+        with torch.no_grad():
+            conv.weight.copy_(torch.tensor(
+                np.asarray(p[name]["conv"]["kernel"]).transpose(2, 1, 0)))
+            conv.bias.copy_(torch.tensor(
+                np.asarray(p[name]["conv"]["bias"])))
+            bn.weight.copy_(torch.tensor(np.asarray(p[name]["bn"]["scale"])))
+            bn.bias.copy_(torch.tensor(np.asarray(p[name]["bn"]["bias"])))
+            bn.running_mean.copy_(torch.tensor(
+                np.asarray(bs[name]["bn"]["mean"])))
+            bn.running_var.copy_(torch.tensor(
+                np.asarray(bs[name]["bn"]["var"])))
+        return lambda t: torch.nn.functional.gelu(bn(conv(t)))
+
+    b1 = torch_block("conv1", Cin, 64, 7)
+    b2 = torch_block("conv2", 64, 128, 5)
+    b3 = torch_block("conv3", 128, 12, 3)
+    with torch.no_grad():
+        t = torch.tensor(x.transpose(0, 2, 1))
+        t = torch.nn.functional.max_pool1d(b1(t), 2)
+        t = torch.nn.functional.max_pool1d(b2(t), 2)
+        t = b3(t)
+        out_t = t.mean(-1)  # mean over time
+
+    out_j = mod.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=2e-5, atol=2e-5)
