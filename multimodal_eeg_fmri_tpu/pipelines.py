@@ -307,19 +307,24 @@ def run_bridge_experiment(
     labels = {int(s): int(l) for s, l in zip(eeg_data["subject"],
                                              eeg_data["label"])}
 
+    # stage-1 trains on ALL subjects with no held-out split (the reference's
+    # _test_bridge.py trains the encoders on the full set before freezing),
+    # so model selection must be train-loss based: eval_names=() rejects the
+    # default selection="val".
+    stage1_cfg = dataclasses.replace(cfg.train, selection="train_loss")
+
     def _stage1(model, data):
         n = len(data["label"])
         train = pad_rows({k: v for k, v in data.items() if k != "subject"}, n)
-        fit = jax.jit(make_fit_fn(model, cfg.train, eval_names=()))
+        fit = jax.jit(make_fit_fn(model, stage1_cfg, eval_names=()))
         dev = jax.tree_util.tree_map(jnp.asarray, train)
-        return fit(jax.random.key(cfg.train.seed), dev, {}, None)
+        return fit(jax.random.key(stage1_cfg.seed), dev, {}, None)
 
     e = cfg.eeg
     eeg_model = TriModalFusionNetV4(
         hidden_dim=e.hidden_dim, dropout=e.dropout,
         num_transformer_layers=e.num_transformer_layers,
         num_heads=e.num_heads)
-    stage1_cfg = dataclasses.replace(cfg.train, selection="train_loss")
     eeg_res = _stage1(eeg_model, eeg_data)
     fmri_model = FMRIFusionNet(hidden_dim=cfg.fmri.hidden_dim,
                                dropout=cfg.fmri.dropout)

@@ -115,10 +115,17 @@ def run_bridge_loocv(
         make_apply_fn,
     )
 
-    cfg = cfg or TrainConfig(
-        batch_size=8, num_epochs=50, learning_rate=1e-4, weight_decay=1e-4,
-        selection="train_loss", schedule="plateau", patience=10,
-    )
+    if cfg is None:
+        # Derive from the shared TrainConfig defaults instead of re-hardcoding
+        # the whole tree; only the bridge-specific stage-2 knobs differ
+        # (reference ``_test_bridge.py:52-86``: lr 1e-4, wd 1e-4, selection
+        # on train loss because LOOCV has no val split).
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            TrainConfig(), learning_rate=1e-4, weight_decay=1e-4,
+            selection="train_loss",
+        )
     model = BridgeFusionNet(
         eeg_dim=bridge_data["eeg"].shape[1],
         fmri_dim=bridge_data["fmri"].shape[1],

@@ -29,9 +29,15 @@ namespace {
 
 struct MappedFile {
   const char* data = nullptr;
-  size_t size = 0;
+  size_t size = 0;      // file bytes
+  size_t map_len = 0;   // mapped bytes (>= size + 1)
   int fd = -1;
 
+  // Maps the file read-only with a guaranteed NUL byte after the data, so
+  // strtof on a numeric field that runs to the last byte never reads past
+  // the mapping. When the file size is not a page multiple, the kernel
+  // zero-fills the tail of the last page; when it IS a page multiple, we
+  // reserve one extra anonymous zero page and map the file over the front.
   bool open(const char* path) {
     fd = ::open(path, O_RDONLY);
     if (fd < 0) return false;
@@ -42,18 +48,39 @@ struct MappedFile {
       return false;
     }
     size = static_cast<size_t>(st.st_size);
-    void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-    if (p == MAP_FAILED) {
-      ::close(fd);
-      fd = -1;
-      return false;
+    const size_t page = static_cast<size_t>(sysconf(_SC_PAGESIZE));
+    if (size % page == 0) {
+      map_len = size + page;
+      void* base = mmap(nullptr, map_len, PROT_READ,
+                        MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+      if (base == MAP_FAILED) {
+        ::close(fd);
+        fd = -1;
+        return false;
+      }
+      void* p = mmap(base, size, PROT_READ, MAP_PRIVATE | MAP_FIXED, fd, 0);
+      if (p == MAP_FAILED) {
+        munmap(base, map_len);
+        ::close(fd);
+        fd = -1;
+        return false;
+      }
+      data = static_cast<const char*>(base);
+    } else {
+      map_len = size;
+      void* p = mmap(nullptr, map_len, PROT_READ, MAP_PRIVATE, fd, 0);
+      if (p == MAP_FAILED) {
+        ::close(fd);
+        fd = -1;
+        return false;
+      }
+      data = static_cast<const char*>(p);
     }
-    data = static_cast<const char*>(p);
     return true;
   }
 
   ~MappedFile() {
-    if (data) munmap(const_cast<char*>(data), size);
+    if (data) munmap(const_cast<char*>(data), map_len);
     if (fd >= 0) ::close(fd);
   }
 };
@@ -80,8 +107,9 @@ int64_t parse_csv(const char* buf, size_t n, float* out, int64_t max_elems,
     // auto: skip when the first field is not numeric-ish
     size_t j = i;
     while (j < n && (buf[j] == ' ' || buf[j] == '"')) j++;
-    if (j < n && !(isdigit(buf[j]) || buf[j] == '-' || buf[j] == '+' ||
-                   buf[j] == '.')) {
+    if (j < n &&
+        !(isdigit(static_cast<unsigned char>(buf[j])) || buf[j] == '-' ||
+          buf[j] == '+' || buf[j] == '.')) {
       skip_line();
     }
   }

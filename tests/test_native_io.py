@@ -65,6 +65,30 @@ def test_read_csv_batch_missing_file(csv_files, tmp_path):
     assert results[2] is not None
 
 
+def test_read_csv_page_multiple_no_trailing_newline(tmp_path):
+    """A file whose size is an exact page multiple and that ends mid-numeric
+    field (no trailing newline) must parse without reading past the mapping
+    (the mmap NUL-guard path)."""
+    import resource
+
+    page = resource.getpagesize()
+    # 8-byte rows + an 8-byte final line with NO newline, ending in digits:
+    # total is exactly 2 pages, so the mapping has no kernel zero-fill tail
+    n_rows = 2 * page // 8 - 1
+    tail_digits = "999"
+    content = "1.5,2.5\n" * n_rows + "3.25," + tail_digits
+    assert len(content) == 2 * page
+    p = tmp_path / "page_exact.csv"
+    p.write_bytes(content.encode())
+    assert p.stat().st_size % page == 0
+
+    got = native_io.read_csv_f32(p, skip_header=False)
+    assert got is not None
+    assert got.shape[1] == 2
+    np.testing.assert_allclose(got[0], [1.5, 2.5])
+    np.testing.assert_allclose(got[-1], [3.25, float(tail_digits)])
+
+
 def test_read_f32_binary(tmp_path):
     arr = np.arange(100, dtype=np.float32)
     p = tmp_path / "x.f32"
