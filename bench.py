@@ -1,21 +1,27 @@
-"""Headline benchmark: fused EEG+fMRI training step, ms/batch.
+"""Headline benchmark suite — all three BASELINE.json metric-line numbers.
 
-BASELINE.json north star: "full EEG+fMRI fusion training step < 10 ms/batch
-on v5e-8 with preprocessing on-device". This measures exactly that step on
-the available chip(s): one jitted step containing
+BASELINE.json metric line: "EEG epochs/sec + fMRI volumes/sec preprocessed;
+fused train step ms/batch". This measures:
 
-  on-device preprocessing (z-score + EEG augmentation)
-  → EEG tri-modal V4 encoder stack (conv + transformer + cross-attention)
-  → fMRI bi-modal fusion encoder
-  → bridge cross-modal fusion head
-  → loss → backward → global-norm clip → AdamW update
-
-on production shapes (batch 8, ERP (8,250,18), PW (8,250,75), CONN (8,459),
-fMRI activation (8,90) + connectivity (8,64) — SURVEY §0/§6 dims).
+1. ``fused_eeg_fmri_train_step`` (headline): one jitted step with on-device
+   preprocessing (z-score + EEG augmentation) → EEG tri-modal V4 stack →
+   fMRI fusion encoder → bridge head → loss → backward → clip → AdamW, on
+   production shapes (batch 8, ERP (8,250,18), PW (8,250,75), CONN (8,459)).
+2. ``eeg_epochs_per_sec``: the full raw featurizer (``data/raw.py``:
+   SOS-cascade zero-phase band-pass + STFT band power + Hilbert
+   PLV/COH/WPLI connectivity) — the FieldTrip-equivalent stage implied by
+   ``EEG_CODE/eeg_data_utils.py:86-119``.
+3. ``fmri_volumes_per_sec``: ``volumes_to_roi_features`` (normalize → ROI
+   one-hot matmul → mean/std aggregate), reference
+   ``fMRI_CODE/run_fmri_v11.py:99-104``.
+4. ``raw_in_step_train_ms``: the north-star variant — the SAME train step
+   but taking RAW continuous EEG and running band-pass/STFT/Hilbert
+   featurization INSIDE the compiled step ("host NumPy/SciPy work
+   disappears").
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ms_per_step, "unit": "ms/batch", "vs_baseline": x}
-where vs_baseline = 10 ms / measured ms (>1 = faster than the target).
+  {"metric": "fused_eeg_fmri_train_step", "value": ms, "unit": "ms/batch",
+   "vs_baseline": 10/ms, "extra": {…metrics 2-4…}}
 """
 
 from __future__ import annotations
@@ -25,36 +31,83 @@ import time
 
 import numpy as np
 
+B, T = 8, 250
 
-def build_step():
+
+def _time_best(fn, reps=3):
+    import jax
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def build_step(raw_eeg: bool = False):
+    """The fused train step. ``raw_eeg=True`` feeds raw continuous EEG and
+    featurizes (band-pass + spectrogram band power + Hilbert connectivity)
+    inside the step; otherwise inputs are precomputed features."""
     import jax
     import jax.numpy as jnp
     import optax
-
-    from multimodal_eeg_fmri_tpu.core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from multimodal_eeg_fmri_tpu.models import MultimodalEndToEnd
     from multimodal_eeg_fmri_tpu.ops.augment import augment_temporal
     from multimodal_eeg_fmri_tpu.ops.losses import cross_entropy
 
-    B, T = 8, 250
     model = MultimodalEndToEnd()
-
     r = np.random.default_rng(0)
-    batch = {
-        "erp": jnp.asarray(r.standard_normal((B, T, 18)), jnp.float32),
-        "pw": jnp.asarray(r.standard_normal((B, T, 75)), jnp.float32),
-        "conn": jnp.asarray(r.standard_normal((B, 459)), jnp.float32),
-        "activation": jnp.asarray(r.standard_normal((B, 90)), jnp.float32),
-        "connectivity": jnp.asarray(r.standard_normal((B, 64)), jnp.float32),
-        "label": jnp.asarray(r.integers(0, 2, B), jnp.int32),
-    }
 
+    def zscore(x):
+        mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
+        sd = jnp.std(x, axis=(-2, -1), keepdims=True)
+        return (x - mu) / (sd + 1e-8)
+
+    if raw_eeg:
+        from multimodal_eeg_fmri_tpu.data.raw import make_raw_eeg_featurizer
+
+        featurize = make_raw_eeg_featurizer(fs=250.0, epoch_len=T)
+        batch = {
+            "raw": jnp.asarray(r.standard_normal((B, T, 18)), jnp.float32),
+            "activation": jnp.asarray(r.standard_normal((B, 90)), jnp.float32),
+            "connectivity": jnp.asarray(r.standard_normal((B, 64)), jnp.float32),
+            "label": jnp.asarray(r.integers(0, 2, B), jnp.int32),
+        }
+
+        def derive_inputs(batch, k_aug):
+            feats = featurize(batch["raw"])  # erp/pw/conn on device
+            return {
+                "erp": augment_temporal(k_aug, zscore(feats["erp"])),
+                "pw": augment_temporal(jax.random.fold_in(k_aug, 1),
+                                       zscore(feats["pw"])),
+                "conn": feats["conn"],
+                "activation": batch["activation"],
+                "connectivity": batch["connectivity"],
+            }
+    else:
+        batch = {
+            "erp": jnp.asarray(r.standard_normal((B, T, 18)), jnp.float32),
+            "pw": jnp.asarray(r.standard_normal((B, T, 75)), jnp.float32),
+            "conn": jnp.asarray(r.standard_normal((B, 459)), jnp.float32),
+            "activation": jnp.asarray(r.standard_normal((B, 90)), jnp.float32),
+            "connectivity": jnp.asarray(r.standard_normal((B, 64)), jnp.float32),
+            "label": jnp.asarray(r.integers(0, 2, B), jnp.int32),
+        }
+
+        def derive_inputs(batch, k_aug):
+            inputs = {k: v for k, v in batch.items() if k != "label"}
+            inputs["erp"] = augment_temporal(k_aug, zscore(inputs["erp"]))
+            inputs["pw"] = augment_temporal(
+                jax.random.fold_in(k_aug, 1), zscore(inputs["pw"]))
+            return inputs
+
+    example = derive_inputs(
+        jax.tree_util.tree_map(jnp.asarray, batch), jax.random.key(9))
     variables = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        **{k: v for k, v in batch.items() if k != "label"}, train=True,
+        **example, train=True,
     )
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.chain(optax.clip_by_global_norm(1.0),
@@ -68,11 +121,6 @@ def build_step():
     # default; flip for larger production shapes.
     bf16 = os.environ.get("BENCH_BF16", "0") == "1"
 
-    def zscore(x):
-        mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
-        sd = jnp.std(x, axis=(-2, -1), keepdims=True)
-        return (x - mu) / (sd + 1e-8)
-
     def cast(tree):
         if not bf16:
             return tree
@@ -82,11 +130,8 @@ def build_step():
 
     def loss_fn(params, batch_stats, batch, rng):
         k_aug, k_drop = jax.random.split(rng)
-        inputs = {k: v for k, v in batch.items() if k != "label"}
         # on-device preprocessing fused into the step
-        inputs["erp"] = augment_temporal(k_aug, zscore(inputs["erp"]))
-        inputs["pw"] = augment_temporal(
-            jax.random.fold_in(k_aug, 1), zscore(inputs["pw"]))
+        inputs = derive_inputs(batch, k_aug)
         # bf16 compute, f32 master params (mirrors train/fit.py)
         out, mut = model.apply(
             {"params": cast(params), "batch_stats": batch_stats},
@@ -114,13 +159,14 @@ def build_step():
     return run_steps, (params, batch_stats, opt_state)
 
 
-def main():
+def bench_train_step(raw_eeg: bool = False) -> float:
+    """ms per fused train step (the framework trains via this same
+    on-device scan — train/fit.py — so this is the deployed shape)."""
     import jax
 
-    run_steps, (params, batch_stats, opt_state) = build_step()
+    run_steps, (params, batch_stats, opt_state) = build_step(raw_eeg)
     rng = jax.random.key(0)
-    K = 100  # steps per device call — the framework trains via this same
-    #          on-device scan (train/fit.py), so this is the deployed shape.
+    K = 100  # steps per device call
 
     def rngs(i):
         return jax.random.split(jax.random.fold_in(rng, i), K)
@@ -135,13 +181,62 @@ def main():
         p, bs, os_, losses = run_steps(p, bs, os_, rngs(rep))
         jax.block_until_ready(losses)
         best = min(best, time.perf_counter() - t0)
-    ms = best / K * 1000.0
+    return best / K * 1000.0
+
+
+def bench_eeg_featurizer() -> float:
+    """EEG epochs/sec through the full raw featurizer."""
+    import jax.numpy as jnp
+
+    from multimodal_eeg_fmri_tpu.data.raw import make_raw_eeg_featurizer
+
+    N, T_raw, C, epoch_len = 16, 2500, 18, 250  # 10 epochs per recording
+    n_epochs = N * (T_raw // epoch_len)
+    featurize = make_raw_eeg_featurizer(fs=250.0, epoch_len=epoch_len)
+    raw = jnp.asarray(
+        np.random.default_rng(1).standard_normal((N, T_raw, C)), jnp.float32)
+    featurize(raw)  # compile
+    best = _time_best(lambda: featurize(raw))
+    return n_epochs / best
+
+
+def bench_fmri_volumes() -> float:
+    """fMRI volumes/sec through normalize → ROI timeseries → aggregate."""
+    from multimodal_eeg_fmri_tpu.data.nifti import volumes_to_roi_features
+
+    r = np.random.default_rng(2)
+    X, Y, Z, T_vol, R = 64, 64, 40, 120, 90
+    bold = r.standard_normal((X, Y, Z, T_vol)).astype(np.float32)
+    atlas = r.integers(0, R + 1, (X, Y, Z)).astype(np.int32)
+    volumes_to_roi_features(bold, atlas, n_rois=R)  # compile
+    best = _time_best(lambda: volumes_to_roi_features(bold, atlas, n_rois=R))
+    return T_vol / best
+
+
+def main():
+    from multimodal_eeg_fmri_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    ms = bench_train_step(raw_eeg=False)
+
+    extra = {}
+    for key, fn in (
+        ("eeg_epochs_per_sec", bench_eeg_featurizer),
+        ("fmri_volumes_per_sec", bench_fmri_volumes),
+        ("raw_in_step_train_ms", lambda: bench_train_step(raw_eeg=True)),
+    ):
+        try:
+            extra[key] = round(float(fn()), 4)
+        except Exception as e:  # never lose the headline number
+            extra[key] = f"error: {type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "fused_eeg_fmri_train_step",
         "value": round(ms, 4),
         "unit": "ms/batch",
         "vs_baseline": round(10.0 / ms, 3),
+        "extra": extra,
     }))
 
 

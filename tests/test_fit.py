@@ -134,3 +134,50 @@ def test_bridge_net_loocv_style_batch1():
     res = fit(jax.random.key(0), _device_tree(pad_rows(train, 8)),
               {"test": _device_tree(pad_rows(test, 1))}, None)
     assert np.isfinite(float(res.best_metric))
+
+
+def test_preprocess_in_step_equals_pretransformed_data():
+    """``make_fit_fn(preprocess=...)`` fused into the compiled step must
+    produce bit-identical training to running the same transform on the
+    data beforehand (the BASELINE "host NumPy/SciPy work disappears" hook)."""
+    data = synthetic_eeg_trimodal(
+        n_subjects=24, time_steps=32, separation=1.0, seed=5)
+    data.pop("subject")
+    train, test = _split(data, 16)
+    train = pad_rows(train, 16)
+    test = pad_rows(test, 8)
+
+    def zscore_inputs(inputs):
+        out = {}
+        for k in ("erp", "pw"):
+            x = inputs[k]
+            mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
+            sd = jnp.std(x, axis=(-2, -1), keepdims=True)
+            out[k] = (x - mu) / (sd + 1e-6)
+        return out
+
+    cfg = TrainConfig(batch_size=8, num_epochs=3, learning_rate=1e-3,
+                      schedule="constant", selection="val", patience=100)
+    model = TriModalFusionNetV4Lite(hidden_dim=16)
+
+    fit_fused = jax.jit(make_fit_fn(model, cfg, eval_names=("val",),
+                                    preprocess=zscore_inputs))
+    res_fused = fit_fused(jax.random.key(0), _device_tree(train),
+                          {"val": _device_tree(test)}, None)
+
+    def pre(d):
+        d = dict(d)
+        d.update({k: np.asarray(v)
+                  for k, v in zscore_inputs(_device_tree(d)).items()})
+        return d
+
+    fit_plain = jax.jit(make_fit_fn(model, cfg, eval_names=("val",)))
+    res_plain = fit_plain(jax.random.key(0), _device_tree(pre(train)),
+                          {"val": _device_tree(pre(test))}, None)
+
+    np.testing.assert_array_equal(np.asarray(res_fused.history["train_loss"]),
+                                  np.asarray(res_plain.history["train_loss"]))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        res_fused.params, res_plain.params)

@@ -39,3 +39,58 @@ def test_trainer_epoch_loop_and_checkpoint(tmp_path):
     m2 = tr2.evaluate(val)
     assert m2["accuracy"] == pytest.approx(
         max(hist["accuracy"]), abs=0.3)  # loose: restored best-state params
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    """save → load → continue must equal uninterrupted training bit-exactly:
+    optimizer moments, rng stream, plateau controller and early-stop
+    counters all survive the round-trip (the reference restores
+    model+optimizer+scheduler)."""
+    data = synthetic_bridge(n_subjects=12, separation=1.0, seed=3)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(12)), 12)
+    cfg = TrainConfig(batch_size=4, num_epochs=6, learning_rate=2e-3,
+                      schedule="plateau", patience=100)
+
+    def make():
+        return Trainer(BridgeFusionNet(bridge_dim=16), cfg)
+
+    # uninterrupted: 6 epochs
+    tr_full = make()
+    losses_full = [tr_full.train_one_epoch(train) for _ in range(6)]
+
+    # interrupted: 3 epochs, save, fresh trainer, load, 3 more
+    tr_a = make()
+    losses_a = [tr_a.train_one_epoch(train) for _ in range(3)]
+    tr_a.save_checkpoint(tmp_path / "resume_ck")
+
+    tr_b = make()
+    tr_b.load_checkpoint(tmp_path / "resume_ck", train_data=train)
+    assert tr_b.epoch == 3
+    losses_b = [tr_b.train_one_epoch(train) for _ in range(3)]
+
+    np.testing.assert_array_equal(losses_a + losses_b, losses_full)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        tr_b.params, tr_full.params)
+
+
+def test_load_checkpoint_before_training(tmp_path):
+    """load_checkpoint must work on a freshly-constructed trainer when
+    given data to build the state structure."""
+    data = synthetic_bridge(n_subjects=8, separation=1.0, seed=4)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(8)), 8)
+    cfg = TrainConfig(batch_size=4, num_epochs=2, learning_rate=1e-3,
+                      schedule="constant", patience=100)
+
+    tr = Trainer(BridgeFusionNet(bridge_dim=16), cfg)
+    tr.train_one_epoch(train)
+    tr.save_checkpoint(tmp_path / "pre_ck")
+    ref = tr.train_one_epoch(train)
+
+    tr2 = Trainer(BridgeFusionNet(bridge_dim=16), cfg)
+    tr2.load_checkpoint(tmp_path / "pre_ck", train_data=train)  # no prior fit
+    got = tr2.train_one_epoch(train)
+    assert got == ref
