@@ -164,8 +164,12 @@ def bench_train_step(raw_eeg: bool = False) -> float:
     on-device scan — train/fit.py — so this is the deployed shape)."""
     import jax
 
+    from multimodal_eeg_fmri_tpu.core.rng import training_key
+
     run_steps, (params, batch_stats, opt_state) = build_step(raw_eeg)
-    rng = jax.random.key(0)
+    # rbg PRNG for dropout/augment: threefry mask generation was measured
+    # at 0.74 ms of the 1.86 ms step (core/rng.training_key docstring)
+    rng = training_key(0)
     K = 100  # steps per device call
 
     def rngs(i):

@@ -9,7 +9,7 @@ from multimodal_eeg_fmri_tpu.core.config import (
     load_config,
     save_config,
 )
-from multimodal_eeg_fmri_tpu.core.rng import RngStream, seed_everything
+from multimodal_eeg_fmri_tpu.core.rng import RngStream, seed_everything, training_key
 from multimodal_eeg_fmri_tpu.core.logging import get_logger, MetricsLogger
 from multimodal_eeg_fmri_tpu.core.cache import enable_compilation_cache
 from multimodal_eeg_fmri_tpu.core.checkpoint import (
@@ -31,6 +31,7 @@ __all__ = [
     "save_config",
     "RngStream",
     "seed_everything",
+    "training_key",
     "get_logger",
     "MetricsLogger",
     "enable_compilation_cache",

@@ -25,8 +25,19 @@ def subset(data: Dataset, idx: Sequence[int]) -> Dataset:
 def pad_rows(data: Dataset, target: int) -> Dataset:
     """Pad every leaf to ``target`` rows; pad rows get weight 0.
 
-    Padding repeats row 0 (rather than zeros) so BatchNorm batch statistics
-    stay in-distribution; the mask removes them from loss/metrics anyway.
+    Padding rows are CYCLED from the whole dataset (row i % n) rather than
+    repeating row 0 or zeros, so BatchNorm batch statistics over a shuffled
+    training batch stay representative of the fold distribution. The weight
+    mask removes pad rows from loss, gradients and metrics.
+
+    Known residual effects vs an unpadded run (documented tradeoff of
+    static-shape training): pad rows still contribute to BN *batch*
+    statistics during training (a mild smoothing toward the fold mean,
+    vanishing as padding fraction → 0), and an epoch over a heavily-padded
+    fold runs ``target // batch_size`` optimizer steps, not
+    ``n // batch_size`` — gradients are correctly masked per-sample, so each
+    step averages over fewer REAL samples rather than taking extra biased
+    steps.
     """
     n = len(next(iter(data.values())))
     if "weight" not in data:
@@ -35,10 +46,11 @@ def pad_rows(data: Dataset, target: int) -> Dataset:
         return data
     if n > target:
         raise ValueError(f"cannot pad {n} rows down to {target}")
+    idx = np.arange(target - n) % n  # cycle through the fold
     out = {}
     for k, v in data.items():
         v = np.asarray(v)
-        pad = np.repeat(v[:1], target - n, axis=0)
+        pad = v[idx]
         if k == "weight":
             pad = np.zeros_like(pad)
         out[k] = np.concatenate([v, pad], axis=0)

@@ -119,6 +119,15 @@ def leave_one_subject_out(
         else:
             tr, va = rest, test_idx
         splits.append(Split(tr, va, test_idx, fold))
+    if val_ratio <= 0:
+        import warnings
+
+        warnings.warn(
+            "leave_one_subject_out(val_ratio=0): val aliases the TEST "
+            "subject, so selection='val' becomes test-set model selection "
+            "(this mirrors the reference's LOSO behavior but is leaky). "
+            "Pass val_ratio>0 for a leakage-free inner split, or select on "
+            "'train_loss'/'test' explicitly.", stacklevel=2)
     return splits
 
 

@@ -50,8 +50,23 @@ def lfilter(b: jnp.ndarray, a: jnp.ndarray, x: jnp.ndarray,
     ``lax.scan`` whose body is a handful of VPU FMAs over the batched trailing
     dims — the batch dimension, not time, carries the vector parallelism.
     Matches ``scipy.signal.lfilter`` (with matching ``zi``) to float64
-    round-off.
+    round-off — **when x64 is enabled**.
+
+    CPU-oracle utility: the expanded transfer-function form of a high-order
+    band-pass is numerically unstable in float32 (the very reason the device
+    path uses the SOS cascade — ``sosfiltfilt``/``bandpass_filtfilt``), and
+    without ``jax.enable_x64()`` JAX silently downcasts the float64 math
+    here to float32. Use this under an x64 context on CPU for parity
+    testing; use the SOS functions on TPU.
     """
+    if not jax.config.jax_enable_x64:
+        import warnings
+
+        warnings.warn(
+            "lfilter/filtfilt run in float32 without jax.enable_x64(); "
+            "high-order transfer-function filtering is unstable in f32 — "
+            "use sosfiltfilt/bandpass_filtfilt (the device path) instead",
+            stacklevel=2)
     b = jnp.asarray(b, jnp.float64)
     a = jnp.asarray(a, jnp.float64)
     b = b / a[0]

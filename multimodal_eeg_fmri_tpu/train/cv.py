@@ -179,6 +179,12 @@ def run_cv(
         cw_dev = shard_ensemble_tree(mesh_plan, cw_dev)
         fold_rngs = shard_ensemble_tree(mesh_plan, fold_rngs)
 
+    # NOTE on donation: donating the fold-stacked train data here was
+    # measured to alias NOTHING (66-fold LOSO AOT memory analysis: identical
+    # arg/temp/alias bytes with and without donate_argnums=(1,)) — XLA only
+    # aliases donated inputs into same-shaped outputs, and no FitResult leaf
+    # matches the data shapes. The carry→carry resume path (train/resilient)
+    # is where donation aliases 100% — see docs/DESIGN.md.
     vfit = jax.jit(jax.vmap(fit_fn))
     res: FitResult = vfit(fold_rngs, train_dev, evals_dev, cw_dev)
 

@@ -136,13 +136,17 @@ def make_fit_fn(
     loss_kwargs: Optional[dict] = None,
     augment: Optional[Callable] = None,
     preprocess: Optional[Callable] = None,
-    donate: bool = True,
 ) -> Callable[..., FitResult]:
     """Build a jitted ``fit(rng, train_data, eval_sets, class_weights)``.
 
     train_data / eval_sets leaves are fixed-shape arrays with a ``weight``
     mask column (0 = padding row). ``eval_sets`` is a dict keyed by
     ``eval_names``. The returned function is pure → vmap/shard freely.
+
+    Buffer donation happens at the CALLER's outermost ``jax.jit`` (an inner
+    jit's donation is ignored under an outer jit/vmap): ``run_cv`` donates
+    the fold-stacked train data (argnum 1) — the dominant input buffer on
+    large LOSO sweeps — so XLA reuses its HBM for activations.
     """
     E = num_epochs or cfg.num_epochs
     if cfg.selection != "train_loss" and cfg.selection not in eval_names:

@@ -58,7 +58,8 @@ class Choice:
 
 SearchSpace = Dict[str, Any]  # name -> LogUniform | Uniform | Choice
 
-# the reference study's space (enhanced_models_v4.py:700-720 equivalents)
+# the reference study's 7-hyperparameter space
+# (enhanced_models_v4.py:700-720 equivalents, incl. the model-family axis)
 DEFAULT_SPACE: SearchSpace = {
     "lr": LogUniform(1e-5, 1e-2),
     "wd": LogUniform(1e-6, 1e-2),
@@ -66,7 +67,23 @@ DEFAULT_SPACE: SearchSpace = {
     "dropout": Choice((0.2, 0.3, 0.4, 0.5)),
     "num_transformer_layers": Choice((1, 2, 3)),
     "num_heads": Choice((2, 4, 8)),
+    "use_gnn": Choice((False, True)),
 }
+
+
+def build_trimodal(use_gnn: bool = False, **arch_kwargs):
+    """Model-family builder for the DEFAULT_SPACE ``use_gnn`` axis
+    (reference: ``EnhancedTriModalFusionNet(use_gnn=...)``,
+    ``enhanced_models_v4.py:700-720``). The GNN family needs ``conn`` in
+    matrix form (B, N, N, M); the MLP family flattens matrix conn, so one
+    matrix-form dataset serves both families in a single study."""
+    from multimodal_eeg_fmri_tpu.models import (
+        TriModalFusionNetGNN,
+        TriModalFusionNetV4,
+    )
+
+    cls = TriModalFusionNetGNN if use_gnn else TriModalFusionNetV4
+    return cls(**arch_kwargs)
 
 _PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37]
 

@@ -59,10 +59,16 @@ def fit_resumable(
     total = cfg.num_epochs
     n_chunks = (total + chunk_epochs - 1) // chunk_epochs
 
+    # Donate the resume carry: its pytree structure matches the returned
+    # FitResult.carry exactly, so XLA aliases every buffer (params, both
+    # optimizer moments, best-params snapshot, batch stats) in place —
+    # measured to remove one full training-state copy from peak HBM per
+    # chunk (docs/DESIGN.md). Safe here because the previous carry is never
+    # touched after the call (only the NEW carry is checkpointed).
     fit_fn = jax.jit(
         make_fit_fn(model, cfg, num_epochs=chunk_epochs,
                     eval_names=tuple(eval_sets.keys())),
-        static_argnames=(),
+        donate_argnums=(5,),
     )
 
     ckptr = ocp.PyTreeCheckpointer()

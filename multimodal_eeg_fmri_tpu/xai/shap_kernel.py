@@ -60,8 +60,11 @@ def kernel_shap(
 
     Z = _coalition_sample(M, n_samples, rng)          # (S, M)
     S = Z.shape[0]
-    sizes = Z.sum(axis=1)
-    w = (M - 1) / np.maximum(sizes * (M - sizes), 1e-9)
+    # Coalition SIZES are sampled proportional to the Shapley kernel weight,
+    # so the sampling distribution already encodes the kernel (importance
+    # sampling, as shap's KernelExplainer does) — the WLS weights must be
+    # UNIFORM; re-applying the kernel here would square it.
+    w = np.ones(S, np.float64)
 
     # masked inputs for every (sample, coalition): x·z + bg·(1−z)
     Xz = X[:, None, :] * Z[None] + bg[None, None, :] * (1 - Z)[None]  # (N,S,M)

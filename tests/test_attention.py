@@ -48,3 +48,23 @@ def test_flash_gradients_flow():
     g_ref = jax.grad(lambda q: jnp.sum(reference_attention(q, q, q) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("tq,tk,d", [(200, 333, 32), (64, 300, 128)])
+def test_flash_backward_kernel_parity(tq, tk, d):
+    """The blockwise backward kernels (dq, dk, dv) must match the einsum
+    VJP on ragged (padded) shapes, with distinct q/k/v tensors."""
+    key = jax.random.key(3)
+    B, H = 2, 2
+    q = jax.random.normal(key, (B, H, tq, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, tk, d))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, tk, d))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (B, H, tq, d))
+
+    _, vjp_flash = jax.vjp(
+        lambda q, k, v: flash_attention(q, k, v, interpret=True), q, k, v)
+    _, vjp_ref = jax.vjp(reference_attention, q, k, v)
+    for got, want, name in zip(vjp_flash(g), vjp_ref(g), "qkv"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"d{name} mismatch")

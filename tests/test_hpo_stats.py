@@ -130,3 +130,36 @@ def test_run_hpo_mesh_sharded():
                   proxy_epochs=2, full_epochs=4, seed=0, mesh_plan=plan)
     assert res.best_score > 0.4
     assert len(res.trials) == 5
+
+
+def test_run_hpo_model_family_axis():
+    """The reference study searches use_gnn among its hyperparameters
+    (enhanced_models_v4.py:700-720); the DEFAULT_SPACE carries the same
+    model-family axis via the build_trimodal dispatcher, with matrix-form
+    conn serving both families."""
+    from multimodal_eeg_fmri_tpu.train.hpo import DEFAULT_SPACE, build_trimodal
+
+    assert "use_gnn" in DEFAULT_SPACE
+
+    data = synthetic_eeg_trimodal(n_subjects=24, time_steps=16,
+                                  separation=2.0, seed=9,
+                                  conn_as_matrix=True, n_nodes=6, n_metrics=2)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(16)), 16)
+    val = pad_rows(subset(data, np.arange(16, 24)), 8)
+
+    space = {
+        "lr": LogUniform(1e-4, 1e-2),
+        "use_gnn": Choice((False, True)),
+        "hidden_dim": Choice((16,)),
+        "num_heads": Choice((2,)),
+        "num_transformer_layers": Choice((1,)),
+    }
+    base = TrainConfig(batch_size=8, num_epochs=4, schedule="constant",
+                       patience=100)
+    res = run_hpo(build_trimodal, base, train, val, space=space,
+                  n_trials=4, proxy_epochs=2, full_epochs=3, seed=0)
+    assert "use_gnn" in res.best_params
+    families = {t["use_gnn"] for t in res.trials}
+    assert families == {False, True}  # both families actually trained
+    assert np.isfinite(res.best_score)
