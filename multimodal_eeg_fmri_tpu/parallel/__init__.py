@@ -19,10 +19,16 @@ from multimodal_eeg_fmri_tpu.parallel.collectives import (
     psum,
     all_gather,
 )
+from multimodal_eeg_fmri_tpu.parallel.distributed import (
+    build_hybrid_mesh,
+    initialize_distributed,
+)
 
 __all__ = [
     "MeshPlan",
     "build_mesh",
+    "build_hybrid_mesh",
+    "initialize_distributed",
     "batch_sharding",
     "ensemble_sharding",
     "replicated",

@@ -8,7 +8,12 @@ deployment this module packages a trained model as a compiled predictor:
   request size against one executable);
 - warmup + latency percentiles (`Predictor.benchmark`);
 - construction straight from a checkpoint directory
-  (`Predictor.from_checkpoint` — consumes core/checkpoint.py artifacts).
+  (`Predictor.from_checkpoint` — consumes core/checkpoint.py artifacts);
+- `EnsemblePredictor`: all K fold models served in ONE vmapped forward with
+  the member axis sharded over the mesh's ensemble dimension — the
+  TPU-native form of the reference's late fusion (it loads its fold
+  checkpoints and averages probabilities sequentially,
+  `EEG_CODE/CrossModal_EEG_scr.ipynb §34` `evaluate_late_fusion`).
 """
 
 from __future__ import annotations
@@ -101,3 +106,108 @@ class Predictor:
                 "p95_ms": float(np.percentile(a, 95)),
                 "mean_ms": float(a.mean()),
                 "batch_size": self.batch_size}
+
+
+def stack_variable_trees(trees):
+    """Stack K per-member variable pytrees on a new leading member axis."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
+
+
+class EnsemblePredictor:
+    """Serve all K fold/ensemble models in one compiled, sharded forward.
+
+    The reference's serving analogue is late fusion: load the K fold
+    checkpoints, run each sequentially, average class probabilities
+    (`CrossModal_EEG_scr.ipynb §34` `evaluate_late_fusion`). Here the K
+    parameter trees stack on a leading member axis, the forward is
+    ``vmap``ped over that axis (inputs broadcast), and — given a
+    ``MeshPlan`` — the stacked params shard over the mesh's ``ensemble``
+    dimension, so a v5e-8 serves 8 fold models at one model's latency with
+    no collective on the hot path (members are independent; the only
+    cross-member op is the final probability mean).
+
+    ``reduce="mean_probs"`` returns the late-fusion average ``(n, classes)``;
+    ``reduce="none"`` returns per-member probabilities ``(K, n, classes)``.
+    """
+
+    def __init__(
+        self,
+        model,
+        stacked_params,
+        stacked_batch_stats=None,
+        plan=None,
+        batch_size: int = 8,
+        preprocess: Optional[Callable] = None,
+        reduce: str = "mean_probs",
+    ):
+        if reduce not in ("mean_probs", "none"):
+            raise ValueError(f"unknown reduce={reduce!r}")
+        self.model = model
+        self.batch_size = batch_size
+        self.reduce = reduce
+        variables = {"params": stacked_params}
+        if stacked_batch_stats is not None:
+            variables["batch_stats"] = stacked_batch_stats
+        self.n_members = int(jax.tree_util.tree_leaves(
+            stacked_params)[0].shape[0])
+
+        if plan is not None:
+            from multimodal_eeg_fmri_tpu.parallel.mesh import (
+                ensemble_sharding, replicated)
+
+            if self.n_members % plan.n_ensemble:
+                raise ValueError(
+                    f"{self.n_members} members not divisible by the mesh's "
+                    f"ensemble axis ({plan.n_ensemble})")
+            variables = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, ensemble_sharding(plan, np.ndim(x))), variables)
+            self._input_sharding = replicated(plan)
+        else:
+            self._input_sharding = None
+
+        def _member_forward(variables, inputs):
+            out = model.apply(variables, **inputs, train=False)
+            return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
+
+        def _forward(variables, inputs):
+            if preprocess is not None:
+                inputs = {**inputs, **preprocess(inputs)}
+            probs = jax.vmap(_member_forward, in_axes=(0, None))(
+                variables, inputs)
+            if reduce == "mean_probs":
+                return probs.mean(axis=0)
+            return probs
+
+        self._variables = variables
+        self._forward = jax.jit(_forward)
+
+    @classmethod
+    def from_checkpoints(cls, model, checkpoint_paths, **kw):
+        """Build from K per-fold checkpoint directories (the reference's
+        ``best_{model}_fold{k}.pt`` layout, `_test_bridge.py:476-482`)."""
+        from multimodal_eeg_fmri_tpu.core.checkpoint import load_checkpoint
+
+        restored = [load_checkpoint(p) for p in checkpoint_paths]
+        params = stack_variable_trees([r["params"] for r in restored])
+        bs_list = [r.get("batch_stats") for r in restored]
+        batch_stats = (stack_variable_trees(bs_list)
+                       if all(b is not None for b in bs_list) else None)
+        return cls(model, params, batch_stats, **kw)
+
+    def __call__(self, **inputs) -> np.ndarray:
+        inputs = {k: v for k, v in inputs.items() if k not in RESERVED_KEYS}
+        n = len(next(iter(inputs.values())))
+        outs = []
+        for chunk, m in Predictor._pad(self, inputs):
+            dev = {k: jnp.asarray(v) for k, v in chunk.items()}
+            if self._input_sharding is not None:
+                dev = {k: jax.device_put(v, self._input_sharding)
+                       for k, v in dev.items()}
+            probs = np.asarray(self._forward(self._variables, dev))
+            outs.append(probs[:, :m] if self.reduce == "none" else probs[:m])
+        axis = 1 if self.reduce == "none" else 0
+        out = np.concatenate(outs, axis=axis)
+        assert out.shape[axis] == n
+        return out

@@ -10,7 +10,9 @@ import jax.numpy as jnp
 from multimodal_eeg_fmri_tpu.core.checkpoint import save_checkpoint
 from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_bridge
 from multimodal_eeg_fmri_tpu.models import BridgeFusionNet
-from multimodal_eeg_fmri_tpu.serving import Predictor
+from multimodal_eeg_fmri_tpu.parallel.mesh import build_mesh
+from multimodal_eeg_fmri_tpu.serving import (
+    EnsemblePredictor, Predictor, stack_variable_trees)
 
 
 @pytest.fixture(scope="module")
@@ -62,3 +64,64 @@ def test_predictor_with_preprocess(trained):
     assert probs.shape == (20, 2)
     stats = p.benchmark(data, iters=5)
     assert stats["p50_ms"] > 0
+
+
+@pytest.fixture(scope="module")
+def fold_models(trained):
+    """Four independently-initialized fold models (the reference's
+    best_*_fold{k} checkpoints) + their stacked variable trees."""
+    model, _, data = trained
+    member_vars = [
+        model.init({"params": jax.random.key(i), "dropout": jax.random.key(i)},
+                   eeg=jnp.asarray(data["eeg"][:4]),
+                   fmri=jnp.asarray(data["fmri"][:4]), train=False)
+        for i in range(4)
+    ]
+    stacked = stack_variable_trees([v["params"] for v in member_vars])
+    return model, member_vars, stacked, data
+
+
+def test_ensemble_matches_sequential_late_fusion(fold_models):
+    """Late-fusion mean over K models == mean of K individual predictors."""
+    model, member_vars, stacked, data = fold_models
+    ens = EnsemblePredictor(model, stacked, batch_size=8)
+    probs = ens(eeg=data["eeg"][:11], fmri=data["fmri"][:11])
+    assert probs.shape == (11, 2)
+    seq = np.mean([
+        Predictor(model, v["params"], batch_size=8)(
+            eeg=data["eeg"][:11], fmri=data["fmri"][:11])
+        for v in member_vars
+    ], axis=0)
+    np.testing.assert_allclose(probs, seq, rtol=2e-4, atol=2e-5)
+
+
+def test_ensemble_per_member_and_mesh_sharded(fold_models):
+    """reduce='none' returns per-member probs; sharding the member axis over
+    the mesh's ensemble dimension changes nothing numerically."""
+    model, member_vars, stacked, data = fold_models
+    ens = EnsemblePredictor(model, stacked, batch_size=8, reduce="none")
+    per_member = ens(eeg=data["eeg"][:10], fmri=data["fmri"][:10])
+    assert per_member.shape == (4, 10, 2)
+    np.testing.assert_allclose(per_member.sum(-1), 1.0, rtol=1e-5)
+
+    plan = build_mesh(ensemble=4, data=2)  # 8 virtual CPU devices
+    sharded = EnsemblePredictor(model, stacked, plan=plan, batch_size=8)
+    probs = sharded(eeg=data["eeg"][:10], fmri=data["fmri"][:10])
+    np.testing.assert_allclose(probs, per_member.mean(0), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_ensemble_from_checkpoints(fold_models, tmp_path):
+    model, member_vars, stacked, data = fold_models
+    paths = []
+    for k, v in enumerate(member_vars):
+        save_checkpoint(tmp_path / f"fold{k}", v["params"],
+                        v.get("batch_stats"))
+        paths.append(tmp_path / f"fold{k}")
+    ens = EnsemblePredictor.from_checkpoints(model, paths, batch_size=4)
+    probs = ens(eeg=data["eeg"][:3], fmri=data["fmri"][:3])
+    assert probs.shape == (3, 2)
+
+    bad = stack_variable_trees([member_vars[0]["params"]] * 3)
+    with pytest.raises(ValueError, match="not divisible"):
+        EnsemblePredictor(model, bad, plan=build_mesh(ensemble=4, data=2))
