@@ -45,10 +45,22 @@ def _time_best(fn, reps=3):
     return best
 
 
-def build_step(raw_eeg: bool = False):
+def build_step(
+    raw_eeg: bool = False,
+    *,
+    dropout: float = 0.3,
+    num_transformer_layers: int = 2,
+    augment: bool = True,
+    forward_only: bool = False,
+):
     """The fused train step. ``raw_eeg=True`` feeds raw continuous EEG and
     featurizes (band-pass + spectrogram band power + Hilbert connectivity)
-    inside the step; otherwise inputs are precomputed features."""
+    inside the step; otherwise inputs are precomputed features.
+
+    The keyword knobs exist for ``benchmarks/step_ablation.py`` (cost
+    attribution of the step, docs/DESIGN.md table); defaults reproduce the
+    headline metric exactly.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -57,8 +69,11 @@ def build_step(raw_eeg: bool = False):
     from multimodal_eeg_fmri_tpu.ops.augment import augment_temporal
     from multimodal_eeg_fmri_tpu.ops.losses import cross_entropy
 
-    model = MultimodalEndToEnd()
+    model = MultimodalEndToEnd(dropout=dropout,
+                               num_transformer_layers=num_transformer_layers)
     r = np.random.default_rng(0)
+    if not augment:
+        augment_temporal = lambda k, x: x  # noqa: E731 — ablation knob
 
     def zscore(x):
         mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
@@ -144,6 +159,9 @@ def build_step(raw_eeg: bool = False):
 
     def step(carry, rng):
         params, batch_stats, opt_state = carry
+        if forward_only:
+            loss, bs = loss_fn(params, batch_stats, batch, rng)
+            return (params, bs, opt_state), loss
         (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -159,17 +177,20 @@ def build_step(raw_eeg: bool = False):
     return run_steps, (params, batch_stats, opt_state)
 
 
-def bench_train_step(raw_eeg: bool = False) -> float:
+def bench_train_step(raw_eeg: bool = False, rng_impl: str = "rbg",
+                     **variant) -> float:
     """ms per fused train step (the framework trains via this same
     on-device scan — train/fit.py — so this is the deployed shape)."""
     import jax
 
     from multimodal_eeg_fmri_tpu.core.rng import training_key
 
-    run_steps, (params, batch_stats, opt_state) = build_step(raw_eeg)
+    run_steps, (params, batch_stats, opt_state) = build_step(raw_eeg,
+                                                             **variant)
     # rbg PRNG for dropout/augment: threefry mask generation was measured
     # at 0.74 ms of the 1.86 ms step (core/rng.training_key docstring)
-    rng = training_key(0)
+    rng = (training_key(0) if rng_impl == "rbg"
+           else jax.random.key(0))  # threefry: the ablation comparator
     K = 100  # steps per device call
 
     def rngs(i):
