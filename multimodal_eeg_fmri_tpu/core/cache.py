@@ -27,7 +27,14 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     if not _ENABLED:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Cache EVERY entry, however fast its compile: under the axon
+        # remote-compile tunnel each small dispatch pays a ~0.4 s round
+        # trip, and a cold start executes ~500 of them during model init /
+        # data prep (measured: 514 sub-threshold compiles totaling 218 s —
+        # the dominant cold-start cost, vs 19 s for the big run_steps
+        # graph). With the default 1.0 s threshold none were persisted, so
+        # "warm" runs re-paid all 218 s; threshold 0 makes them cache hits.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _ENABLED = True
     return cache_dir
