@@ -53,8 +53,12 @@ class TrainConfig:
     selection: str = "val"
     val_ratio: float = 0.15
     seed: int = 42
-    # compute dtype for matmul-heavy paths; params stay f32.
-    compute_dtype: str = "bfloat16"
+    # Compute dtype for matmul-heavy paths; params stay f32. Default f32:
+    # at the reference's shapes (batch 8, d=128) bf16 measured ~5% SLOWER
+    # on v5e (the fused step is latency-bound, not MXU-bound — DESIGN.md
+    # "Mixed precision") and costs ~3 decimal digits of torch parity.
+    # Set "bfloat16" for larger MXU-bound deployments.
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -23,8 +23,20 @@ from multimodal_eeg_fmri_tpu.parallel.distributed import (
     build_hybrid_mesh,
     initialize_distributed,
 )
+from multimodal_eeg_fmri_tpu.parallel.tensor import (
+    TPPlan,
+    build_tp_mesh,
+    shard_params_tp,
+    tp_param_constraint,
+    tp_param_specs,
+)
 
 __all__ = [
+    "TPPlan",
+    "build_tp_mesh",
+    "shard_params_tp",
+    "tp_param_constraint",
+    "tp_param_specs",
     "MeshPlan",
     "build_mesh",
     "build_hybrid_mesh",

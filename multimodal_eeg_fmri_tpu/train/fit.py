@@ -136,6 +136,7 @@ def make_fit_fn(
     loss_kwargs: Optional[dict] = None,
     augment: Optional[Callable] = None,
     preprocess: Optional[Callable] = None,
+    param_sharding: Optional[Callable] = None,
 ) -> Callable[..., FitResult]:
     """Build a jitted ``fit(rng, train_data, eval_sets, class_weights)``.
 
@@ -285,6 +286,12 @@ def make_fit_fn(
             **split_batch(init_batch), train=True,
         )
         params = variables["params"]
+        if param_sharding is not None:
+            # pin a tensor-parallel layout (parallel/tensor.py) on the
+            # freshly-initialized params; GSPMD propagates it through the
+            # scan carry, gradients, and optimizer state from this one
+            # constraint — no further annotations needed.
+            params = param_sharding(params)
         batch_stats = variables.get("batch_stats", {})
         opt_state = tx.init(params)
 

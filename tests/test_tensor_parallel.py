@@ -1,0 +1,144 @@
+"""Tensor parallelism (parallel/tensor.py): Megatron-style head/FFN
+sharding expressed as GSPMD annotations.
+
+Checks, on the 8-virtual-device CPU mesh:
+- the spec rules hit every attention/FFN param and nothing else;
+- a TP-sharded forward is numerically identical to the replicated one;
+- GSPMD actually inserts cross-device collectives (the compiled HLO
+  contains all-reduces over the model axis) — i.e. the layout is real
+  model parallelism, not silent replication;
+- a full compiled training run (make_fit_fn(param_sharding=...)) on a
+  data×model mesh matches the unsharded run's loss history.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+from multimodal_eeg_fmri_tpu.data.arrays import subset
+from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_eeg_trimodal
+from multimodal_eeg_fmri_tpu.models import TriModalFusionNetV4
+from multimodal_eeg_fmri_tpu.parallel.tensor import (
+    build_tp_mesh,
+    shard_params_tp,
+    tp_param_constraint,
+    tp_param_specs,
+)
+from multimodal_eeg_fmri_tpu.train.fit import make_fit_fn
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _model_and_data(hidden=32):
+    model = TriModalFusionNetV4(hidden_dim=hidden, num_transformer_layers=1,
+                                num_heads=4)
+    B, T = 8, 32
+    erp = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, 18)),
+                      jnp.float32)
+    pw = jnp.asarray(np.random.default_rng(1).normal(size=(B, T, 75)),
+                     jnp.float32)
+    conn = jnp.asarray(np.random.default_rng(2).normal(size=(B, 459)),
+                       jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        erp=erp, pw=pw, conn=conn, train=False,
+    )
+    return model, variables, (erp, pw, conn)
+
+
+def test_specs_cover_attention_and_ffn():
+    model, variables, _ = _model_and_data()
+    from flax import traverse_util
+
+    specs = traverse_util.flatten_dict(
+        tp_param_specs(variables["params"], n_model=4))
+    sharded = {p for p, s in specs.items() if s != P()}
+    # every q/k/v/out/ffn param of every attention user is sharded
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj", "ffn1", "ffn2"):
+        assert any(name in p for p in sharded), name
+    # out_proj/ffn2 biases and all conv/norm/head params stay replicated
+    for p, s in specs.items():
+        if p[-2:] in (("out_proj", "bias"), ("ffn2", "bias")):
+            assert s == P()
+        if "conv" in "/".join(map(str, p)) or p[-1] in ("scale", "mean",
+                                                        "var"):
+            assert s == P()
+
+
+@needs8
+def test_tp_forward_matches_replicated_and_uses_collectives():
+    plan = build_tp_mesh(jax.devices()[:8], data=2, model=4)
+    model, variables, (erp, pw, conn) = _model_and_data()
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    def forward(params, erp, pw, conn):
+        out = model.apply({"params": params, **extra}, erp=erp, pw=pw,
+                          conn=conn, train=False)
+        return out.logits
+
+    ref = jax.jit(forward)(params, erp, pw, conn)
+
+    tp_params = shard_params_tp(params, plan)
+    batch_sh = NamedSharding(plan.mesh, P("data"))
+    erp_s, pw_s, conn_s = (jax.device_put(x, batch_sh)
+                           for x in (erp, pw, conn))
+    jitted = jax.jit(forward)
+    got = jitted(tp_params, erp_s, pw_s, conn_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # the layout must be real TP: compiled program communicates
+    hlo = jitted.lower(tp_params, erp_s, pw_s, conn_s).compile().as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo
+
+
+@needs8
+def test_tp_training_matches_unsharded():
+    plan = build_tp_mesh(jax.devices()[:8], data=2, model=4)
+    data = synthetic_eeg_trimodal(n_subjects=16, time_steps=32,
+                                  separation=2.0, seed=5)
+    data.pop("subject")
+    train = subset(data, np.arange(12))
+    val = subset(data, np.arange(12, 16))
+    model = TriModalFusionNetV4(hidden_dim=32, num_transformer_layers=1,
+                                num_heads=4, dropout=0.0)
+    rng = jax.random.key(7)
+    batch_sh = lambda x: NamedSharding(
+        plan.mesh, P("data", *([None] * (np.ndim(x) - 1))))
+    train_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sh(x)), train)
+    val_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sh(x)), val)
+
+    # (a) exact check, no chaotic amplification: ONE epoch of ONE batch —
+    # the epoch-1 train loss and val metrics are a single fwd(+bwd) in both
+    # regimes, so TP must agree to float-reassociation tolerance. (TP and
+    # DP legitimately change reduction order, so multi-epoch histories
+    # drift — training is chaotic — and bitwise equality is not the spec.)
+    cfg1 = TrainConfig(batch_size=12, num_epochs=1, learning_rate=3e-3,
+                       schedule="constant", selection="val", patience=100)
+    fit_plain = make_fit_fn(model, cfg1, eval_names=("val",))
+    fit_tp = make_fit_fn(model, cfg1, eval_names=("val",),
+                         param_sharding=tp_param_constraint(plan))
+    res_ref = jax.jit(fit_plain)(rng, train, {"val": val}, None)
+    res_tp = jax.jit(fit_tp)(rng, train_s, {"val": val_s}, None)
+    for key in ("train_loss", "val_f1", "val_accuracy"):
+        np.testing.assert_allclose(
+            np.asarray(res_tp.history[key]), np.asarray(res_ref.history[key]),
+            atol=1e-4, rtol=1e-4, err_msg=key,
+        )
+
+    # (b) multi-epoch TP training proceeds: losses finite and decreasing
+    cfg3 = TrainConfig(batch_size=4, num_epochs=6, learning_rate=3e-3,
+                       schedule="constant", selection="val", patience=100)
+    fit_tp3 = make_fit_fn(model, cfg3, eval_names=("val",),
+                          param_sharding=tp_param_constraint(plan))
+    res3 = jax.jit(fit_tp3)(rng, train_s, {"val": val_s}, None)
+    losses = np.asarray(res3.history["train_loss"])
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
