@@ -145,9 +145,11 @@ def make_fit_fn(
     ``eval_names``. The returned function is pure → vmap/shard freely.
 
     Buffer donation happens at the CALLER's outermost ``jax.jit`` (an inner
-    jit's donation is ignored under an outer jit/vmap): ``run_cv`` donates
-    the fold-stacked train data (argnum 1) — the dominant input buffer on
-    large LOSO sweeps — so XLA reuses its HBM for activations.
+    jit's donation is ignored under an outer jit/vmap). Measured outcomes
+    (DESIGN.md "Buffer donation"): donating ``run_cv``'s fold-stacked train
+    data aliases nothing (no same-shaped output) and is left off;
+    ``train/resilient.py`` donates the resume carry (argnum 5), which
+    aliases fully and cuts peak HBM ~34%.
     """
     E = num_epochs or cfg.num_epochs
     if cfg.selection != "train_loss" and cfg.selection not in eval_names:
