@@ -146,17 +146,25 @@ def shard_params_tp(params: Any, plan: TPPlan) -> Any:
     )
 
 
-def tp_param_constraint(plan: TPPlan):
+def tp_param_constraint(plan):
     """A ``params → params`` hook (``make_fit_fn(param_sharding=...)``)
     that pins the TP layout inside the compiled run via
     ``with_sharding_constraint``; GSPMD propagates it through the scan
-    carry, the grads, and the optimizer state."""
+    carry, the grads, and the optimizer state.
+
+    Accepts a ``TPPlan`` or any ``Mesh`` with a ``model`` axis — including
+    a 3D (ensemble, data, model) mesh, where the same hook composes with
+    fold-vmapped fits: ``vmap`` batches the constraint, so folds shard
+    over ``ensemble`` while each fold's params shard over ``model``.
+    """
+    mesh = plan.mesh if isinstance(plan, TPPlan) else plan
+    n_model = mesh.shape[MODEL_AXIS]
 
     def constrain(params):
         return _map_with_specs(
-            params, plan.n_model,
+            params, n_model,
             lambda x, s: jax.lax.with_sharding_constraint(
-                x, NamedSharding(plan.mesh, s)
+                x, NamedSharding(mesh, s)
             ),
         )
 

@@ -142,3 +142,55 @@ def test_tp_training_matches_unsharded():
     losses = np.asarray(res3.history["train_loss"])
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+@needs8
+def test_3d_mesh_ensemble_data_model():
+    """The capstone composition: folds vmapped + sharded over ``ensemble``,
+    batches over ``data``, params over ``model`` — one program, one mesh.
+    ``tp_param_constraint`` is applied INSIDE the vmapped fit; vmap batches
+    the constraint so each fold's params carry the TP layout."""
+    from jax.sharding import Mesh
+
+    from multimodal_eeg_fmri_tpu.data.arrays import pad_rows
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devices, ("ensemble", "data", "model"))
+
+    model = TriModalFusionNetV4(hidden_dim=32, num_transformer_layers=1,
+                                num_heads=4)
+    cfg = TrainConfig(batch_size=4, num_epochs=2, learning_rate=1e-3,
+                      schedule="constant", selection="val", patience=100)
+    fit = make_fit_fn(model, cfg, eval_names=("val",),
+                      param_sharding=tp_param_constraint(mesh))
+
+    n_folds, B, T = 2, 4, 32
+    raw = synthetic_eeg_trimodal(n_subjects=4 * B, time_steps=T, seed=0)
+    raw.pop("subject")
+    folds = [(pad_rows(subset(raw, np.arange(0, 2 * B)), 2 * B),
+              pad_rows(subset(raw, np.arange(2 * B, 3 * B)), B))
+             for _ in range(n_folds)]
+    stack = lambda ts: jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, 0), *ts)
+    train_stack = stack([f[0] for f in folds])
+    eval_stack = stack([f[1] for f in folds])
+
+    def in_shard(x):
+        nd = np.ndim(x)
+        if nd >= 2:
+            return NamedSharding(mesh, P("ensemble", "data",
+                                         *([None] * (nd - 2))))
+        return NamedSharding(mesh, P("ensemble"))
+
+    dev = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), in_shard(x)), t)
+    rngs = jax.device_put(
+        jax.vmap(lambda i: jax.random.fold_in(jax.random.key(0), i))(
+            jnp.arange(n_folds)),
+        NamedSharding(mesh, P("ensemble")))
+
+    vfit = jax.jit(jax.vmap(fit, in_axes=(0, 0, {"val": 0}, None)))
+    res = vfit(rngs, dev(train_stack), {"val": dev(eval_stack)}, None)
+    loss = np.asarray(res.history["train_loss"])
+    assert loss.shape == (n_folds, 2)
+    assert np.all(np.isfinite(loss))
