@@ -13,8 +13,14 @@ from multimodal_eeg_fmri_tpu.ops.schedules import (
     warmup_cosine_schedule,
 )
 from multimodal_eeg_fmri_tpu.ops.augment import augment_temporal, make_eeg_augment
+from multimodal_eeg_fmri_tpu.ops.ring_attention import (
+    ring_attention,
+    shard_sequence,
+)
 
 __all__ = [
+    "ring_attention",
+    "shard_sequence",
     "cross_entropy",
     "focal_loss",
     "label_smoothing_cross_entropy",

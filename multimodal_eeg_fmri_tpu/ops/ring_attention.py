@@ -1,0 +1,102 @@
+"""Ring attention — sequence parallelism for the long-context path.
+
+Completes the parallelism inventory (ensemble / data / model / sequence):
+when a recording is long enough that even one sequence's activations strain
+a chip (the regime the flash kernel's O(block) VMEM already targets,
+docs/DESIGN.md "Flash attention"), the TIME axis itself shards over a mesh
+axis. Each device holds its local Q/K/V chunk; K/V chunks rotate around the
+ring via ``lax.ppermute`` (neighbor hops — rides ICI, never DCN) while every
+device folds each incoming chunk into a running online-softmax state
+(m, l, acc). After ``n`` hops each device holds the exact attention output
+for its local queries — bitwise-equivalent math to the flash kernel's
+blockwise accumulation, just distributed.
+
+No reference analogue (the reference is single-GPU quadratic attention,
+SURVEY §5); pattern follows the public ring-attention formulation
+(Liu et al. 2023) as idiomatic JAX: ``shard_map`` + ``ppermute`` + scan,
+fully differentiable (JAX transposes the ppermute/scan automatically).
+
+Per-chunk scores materialize (T_local, T_chunk) = (T/n)² per device — the
+O(T²) logits memory shrinks n² per chip while compute stays MXU einsums.
+For even longer T, the per-chunk computation can route through the Pallas
+flash kernel (ops/attention.py) unchanged — the merge identity is the same.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SEQ_AXIS = "data"  # default: reuse the mesh's data axis for sp serving
+
+
+def _chunk_scores(q, k, v, scale):
+    """Unnormalized blockwise attention of local q vs one K/V chunk.
+    Returns (o_unnorm (B,H,Tq,D), m (B,H,Tq), l (B,H,Tq)) in f32."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    m = jnp.max(s, axis=-1)
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return o, m, l
+
+
+def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
+                         scale: Optional[float] = None):
+    """The per-device body (call inside ``shard_map``).
+
+    q, k, v: (B, H, T_local, D) — this device's chunk of the T-sharded
+    sequence. ``axis_size`` is the ring length (static, from the mesh).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    B, H, Tq, D = q.shape
+    qf = q.astype(jnp.float32)
+
+    m0 = jnp.full((B, H, Tq), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, H, Tq), jnp.float32)
+    acc0 = jnp.zeros((B, H, Tq, D), jnp.float32)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    def body(carry, _):
+        k_c, v_c, m, l, acc = carry
+        o_c, m_c, l_c = _chunk_scores(qf, k_c, v_c, scale)
+        m_new = jnp.maximum(m, m_c)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(m_c - m_new)
+        acc = acc * alpha[..., None] + o_c * beta[..., None]
+        l = l * alpha + l_c * beta
+        k_c = jax.lax.ppermute(k_c, axis_name, perm)
+        v_c = jax.lax.ppermute(v_c, axis_name, perm)
+        return (k_c, v_c, m_new, l, acc), None
+
+    (_, _, _, l, acc), _ = jax.lax.scan(
+        body, (k, v, m0, l0, acc0), None, length=axis_size)
+    return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+
+
+def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS):
+    """Sequence-parallel attention: (B, H, T, D) with T sharded over
+    ``mesh`` axis ``axis``. Returns the same-sharded output. T must divide
+    the axis size. Differentiable end-to-end."""
+    n = mesh.shape[axis]
+    if q.shape[2] % n:
+        raise ValueError(f"T={q.shape[2]} not divisible by ring size {n}")
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(
+        partial(ring_attention_local, axis_name=axis, axis_size=n),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+def shard_sequence(x, mesh: Mesh, axis: str = SEQ_AXIS):
+    """Device-put (B, H, T, D) arrays with the T axis sharded for the ring."""
+    return jax.device_put(
+        x, NamedSharding(mesh, P(None, None, axis, None)))
