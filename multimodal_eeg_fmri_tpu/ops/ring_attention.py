@@ -58,10 +58,11 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
     B, H, Tq, D = q.shape
     qf = q.astype(jnp.float32)
 
+    from multimodal_eeg_fmri_tpu.parallel.collectives import ppermute_shift
+
     m0 = jnp.full((B, H, Tq), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((B, H, Tq), jnp.float32)
     acc0 = jnp.zeros((B, H, Tq, D), jnp.float32)
-    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
     def body(carry, _):
         k_c, v_c, m, l, acc = carry
@@ -71,8 +72,7 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
         beta = jnp.exp(m_c - m_new)
         acc = acc * alpha[..., None] + o_c * beta[..., None]
         l = l * alpha + l_c * beta
-        k_c = jax.lax.ppermute(k_c, axis_name, perm)
-        v_c = jax.lax.ppermute(v_c, axis_name, perm)
+        k_c, v_c = ppermute_shift((k_c, v_c), axis_name)
         return (k_c, v_c, m_new, l, acc), None
 
     (_, _, _, l, acc), _ = jax.lax.scan(
