@@ -1,0 +1,89 @@
+"""Long-context headroom: the three mechanisms that carry attention past the
+reference's ≤250-timestep regime, composed on an 8-device mesh.
+
+The reference caps sequences at 5000 steps and truncates beyond
+(`EEG_CODE/CrossModal_EEG_scr.ipynb §41`); attention is full quadratic, so
+T=8192 would need a 17 GB logits tensor and OOMs. This framework's ladder:
+
+1. **Flash kernel** (ops/attention.py): blockwise online-softmax Pallas
+   kernel, O(block) VMEM — one chip runs T=8192 in ~17 ms where einsum
+   cannot run at all (docs/DESIGN.md table).
+2. **Ring attention** (ops/ring_attention.py): shard the TIME axis over a
+   mesh axis; K/V chunks rotate by ppermute while each device folds chunks
+   into the same online-softmax merge — per-device logits memory ÷ n².
+3. **Tensor parallelism** (parallel/tensor.py): at wider d_model, attention
+   heads + FFN hidden shard over a `model` axis via GSPMD annotations.
+
+This example runs (2) against full attention for equality, then shows (3)'s
+sharding on the same mesh. CPU-friendly shapes; the mechanisms are
+shape-agnostic. `python examples/long_context.py`
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from multimodal_eeg_fmri_tpu.ops.attention import reference_attention
+from multimodal_eeg_fmri_tpu.ops.ring_attention import (
+    ring_attention, shard_sequence)
+from multimodal_eeg_fmri_tpu.parallel.tensor import (
+    build_tp_mesh, shard_params_tp, tp_param_specs)
+
+
+def main():
+    # --- ring attention: T sharded 8 ways, exact vs full attention ---
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    B, H, T, D = 2, 4, 512, 32
+    r = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(r.normal(size=(B, H, T, D)), jnp.float32)
+               for _ in range(3))
+
+    ref = reference_attention(q, k, v)
+    qs, ks, vs = (shard_sequence(x, mesh) for x in (q, k, v))
+    ring = jax.jit(lambda a, b, c: ring_attention(a, b, c, mesh))(qs, ks, vs)
+    err = float(jnp.max(jnp.abs(ring - ref)))
+    print(f"ring attention: T={T} sharded over 8 devices, "
+          f"per-device chunk T_local={T // 8}, max|Δ| vs full = {err:.2e}")
+    assert err < 1e-4
+
+    # --- tensor parallelism: the param layout at a glance ---
+    from multimodal_eeg_fmri_tpu.models import TriModalFusionNetV4
+
+    plan = build_tp_mesh(jax.devices()[:8], data=2, model=4)
+    model = TriModalFusionNetV4(hidden_dim=64, num_transformer_layers=1,
+                                num_heads=4)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        erp=jnp.ones((2, 64, 18)), pw=jnp.ones((2, 64, 75)),
+        conn=jnp.ones((2, 459)), train=False)
+    tp = shard_params_tp(variables["params"], plan)
+
+    from flax import traverse_util
+    from jax.sharding import PartitionSpec as P
+
+    specs = traverse_util.flatten_dict(
+        tp_param_specs(variables["params"], plan.n_model))
+    n_sharded = sum(1 for s in specs.values() if s != P())
+    print(f"tensor parallel: mesh data={plan.n_data} x model={plan.n_model}, "
+          f"{n_sharded}/{len(specs)} params sharded (attention heads + FFN)")
+    example = next(v for p, v in traverse_util.flatten_dict(tp).items()
+                   if "ffn1" in p and p[-1] == "kernel")
+    print("  e.g. ffn1 kernel sharding:", example.sharding.spec)
+
+
+if __name__ == "__main__":
+    main()

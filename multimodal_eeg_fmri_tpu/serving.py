@@ -89,6 +89,38 @@ class Predictor:
             outs.append(np.asarray(self._forward(self._variables, dev))[:m])
         return np.concatenate(outs, axis=0)
 
+    def export_artifact(self, example: Dict[str, np.ndarray], path: str,
+                        platforms=("cpu", "tpu")) -> bytes:
+        """Serialize the compiled forward (weights baked in) to a
+        self-contained StableHLO artifact via ``jax.export``.
+
+        The artifact is the deployment unit: no Python model code, flax, or
+        checkpoint plumbing needed at the serving site — just
+        ``load_artifact(path)`` and call. Lowered for both CPU and TPU by
+        default so the same file serves in dev and prod. Fixed batch
+        (``self.batch_size``) — the same contract as the compiled predictor.
+        """
+        from pathlib import Path
+
+        from jax import export as jax_export
+
+        spec = {
+            k: jax.ShapeDtypeStruct(
+                (self.batch_size,) + np.shape(v)[1:],
+                jnp.asarray(np.asarray(v)[:1]).dtype)
+            for k, v in example.items() if k not in RESERVED_KEYS
+        }
+        fn = jax.jit(lambda inputs: self._forward(self._variables, inputs))
+        try:
+            exp = jax_export.export(fn, platforms=list(platforms))(spec)
+        except Exception:
+            # fall back to the current platform only (older jax / exotic
+            # backends that reject multi-platform lowering)
+            exp = jax_export.export(fn)(spec)
+        blob = exp.serialize()
+        Path(path).write_bytes(blob)
+        return blob
+
     def benchmark(self, example: Dict[str, np.ndarray], warmup: int = 3,
                   iters: int = 30) -> Dict[str, float]:
         """Serving-latency percentiles for one compiled batch."""
@@ -106,6 +138,24 @@ class Predictor:
                 "p95_ms": float(np.percentile(a, 95)),
                 "mean_ms": float(a.mean()),
                 "batch_size": self.batch_size}
+
+
+def load_artifact(path: str) -> Callable[..., np.ndarray]:
+    """Load a ``Predictor.export_artifact`` file into a callable
+    ``fn(**inputs) -> probs``. Inputs must match the exported batch size
+    and keys; no model code or params needed."""
+    from pathlib import Path
+
+    from jax import export as jax_export
+
+    exp = jax_export.deserialize(Path(path).read_bytes())
+
+    def call(**inputs) -> np.ndarray:
+        dev = {k: jnp.asarray(v) for k, v in inputs.items()
+               if k not in RESERVED_KEYS}
+        return np.asarray(exp.call(dev))
+
+    return call
 
 
 def stack_variable_trees(trees):

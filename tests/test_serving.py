@@ -125,3 +125,23 @@ def test_ensemble_from_checkpoints(fold_models, tmp_path):
     bad = stack_variable_trees([member_vars[0]["params"]] * 3)
     with pytest.raises(ValueError, match="not divisible"):
         EnsemblePredictor(model, bad, plan=build_mesh(ensemble=4, data=2))
+
+
+def test_export_artifact_roundtrip(trained, tmp_path):
+    """StableHLO deployment artifact: serialize the compiled forward
+    (weights baked in), reload WITHOUT model code/params, outputs equal."""
+    from multimodal_eeg_fmri_tpu.serving import load_artifact
+
+    model, variables, data = trained
+    p = Predictor(model, variables["params"], variables.get("batch_stats"),
+                  batch_size=8)
+    example = {"eeg": data["eeg"][:8], "fmri": data["fmri"][:8]}
+    path = tmp_path / "bridge.stablehlo"
+    blob = p.export_artifact(example, str(path))
+    assert path.stat().st_size == len(blob) > 1000
+
+    served = load_artifact(str(path))
+    got = served(eeg=jnp.asarray(example["eeg"]),
+                 fmri=jnp.asarray(example["fmri"]))
+    want = p(**example)
+    np.testing.assert_allclose(got, want, atol=1e-6)
