@@ -30,8 +30,14 @@ from multimodal_eeg_fmri_tpu.parallel.tensor import (
     tp_param_constraint,
     tp_param_specs,
 )
+from multimodal_eeg_fmri_tpu.parallel.pipeline import (
+    pipeline_apply,
+    shard_stage_params,
+)
 
 __all__ = [
+    "pipeline_apply",
+    "shard_stage_params",
     "TPPlan",
     "build_tp_mesh",
     "shard_params_tp",
