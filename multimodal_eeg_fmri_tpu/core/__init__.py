@@ -19,6 +19,7 @@ from multimodal_eeg_fmri_tpu.core.checkpoint import (
     save_checkpoint,
 )
 from multimodal_eeg_fmri_tpu.core.determinism import run_twice_and_compare
+from multimodal_eeg_fmri_tpu.core.aot import export_jitted, load_bundle
 from multimodal_eeg_fmri_tpu.core.profiling import StepTimer, annotate, trace
 
 __all__ = [
@@ -35,6 +36,8 @@ __all__ = [
     "get_logger",
     "MetricsLogger",
     "enable_compilation_cache",
+    "export_jitted",
+    "load_bundle",
     "save_checkpoint",
     "load_checkpoint",
     "export_frozen_encoder",

@@ -1,0 +1,126 @@
+"""AOT compilation bundles — serialize whole compiled training programs.
+
+The warm-start anatomy (docs/DESIGN.md "Cold start anatomy") shows that
+once XLA's persistent cache covers compilation, the remaining cold cost is
+Python **tracing/lowering** of the big fit graphs — which JAX cannot cache
+across processes. `jax.export` can: it serializes the lowered StableHLO
+(shape-specialized, weights NOT baked in — these are training programs) so
+a later process skips flax module construction, tracing, and lowering
+entirely; only the XLA compile remains, and that hits the persistent cache.
+
+Use: `export_jitted(jax.jit(make_fit_fn(...)), example_args, path)` once,
+then `fn = load_bundle(path); fn(rng, train, evals, cw)` in any process —
+same pytree in, same FitResult out.
+
+Custom pytree node types appearing in the signature (FitResult, the fit
+carry, optax optimizer states) must be registered with jax.export's
+serialization on BOTH sides; `_register_tree_types` walks an example tree
+and registers every namedtuple / flax-struct node it finds, and the
+framework's standard fit types are registered at import so `load_bundle`
+works without having seen the original objects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+
+_REGISTERED: set = set()
+
+
+def _register_one(cls) -> None:
+    from jax import export as jax_export
+
+    if cls in _REGISTERED:
+        return
+    name = f"{cls.__module__}.{cls.__qualname__}"
+    try:
+        if isinstance(cls, type) and issubclass(cls, tuple) and hasattr(
+                cls, "_fields"):
+            jax_export.register_namedtuple_serialization(
+                cls, serialized_name=name)
+        elif dataclasses.is_dataclass(cls):
+            # flax.struct dataclasses flatten to (children, auxdata);
+            # auxdata is a small static object — pickle round-trips it
+            jax_export.register_pytree_node_serialization(
+                cls, serialized_name=name,
+                serialize_auxdata=pickle.dumps,
+                deserialize_auxdata=pickle.loads)
+        else:
+            return
+    except ValueError:
+        pass  # already registered (possibly under another name)
+    _REGISTERED.add(cls)
+
+
+def _register_tree_types(tree: Any) -> None:
+    """Register every custom pytree node type reachable in ``tree``."""
+    def walk(x):
+        if isinstance(x, tuple) and hasattr(x, "_fields"):
+            _register_one(type(x))
+            for c in x:
+                walk(c)
+        elif dataclasses.is_dataclass(x) and not isinstance(x, type):
+            _register_one(type(x))
+            for f in dataclasses.fields(x):
+                walk(getattr(x, f.name))
+        elif isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+
+    walk(tree)
+
+
+def _register_fit_types() -> None:
+    """The framework's standard training-program node types, registered
+    eagerly so ``load_bundle`` works in a fresh process."""
+    import optax
+
+    from multimodal_eeg_fmri_tpu.train.fit import FitResult, _Carry
+
+    for cls in (FitResult, _Carry, optax.EmptyState, optax.ScaleByAdamState,
+                optax.ClipByGlobalNormState
+                if hasattr(optax, "ClipByGlobalNormState") else
+                optax.EmptyState):
+        _register_one(cls)
+
+
+def export_jitted(jitted_fn: Callable, example_args: tuple,
+                  path: str | Path | None = None) -> bytes:
+    """Serialize a jitted function, specialized to ``example_args``'s
+    shapes/dtypes, to a self-contained AOT bundle (StableHLO)."""
+    from jax import export as jax_export
+
+    _register_fit_types()
+    _register_tree_types(example_args)
+    # outputs can carry further custom nodes (FitResult, carry, opt state)
+    out_shape = jax.eval_shape(jitted_fn, *example_args)
+    _register_tree_types(out_shape)
+
+    spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), example_args)
+    exp = jax_export.export(jitted_fn)(*spec)
+    blob = exp.serialize()
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob
+
+
+def load_bundle(path_or_bytes: str | Path | bytes) -> Callable:
+    """Load an AOT bundle into a callable. Skips flax module construction,
+    tracing, and lowering; the XLA compile of the embedded StableHLO runs
+    once per process and hits the persistent compilation cache."""
+    from jax import export as jax_export
+
+    _register_fit_types()
+    blob = (path_or_bytes if isinstance(path_or_bytes, bytes)
+            else Path(path_or_bytes).read_bytes())
+    exp = jax_export.deserialize(blob)
+    return exp.call
