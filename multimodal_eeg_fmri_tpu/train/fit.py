@@ -144,6 +144,11 @@ def make_fit_fn(
     mask column (0 = padding row). ``eval_sets`` is a dict keyed by
     ``eval_names``. The returned function is pure → vmap/shard freely.
 
+    ``param_sharding`` (optional ``params → params``) pins a tensor-parallel
+    layout on the freshly-initialized params (see
+    ``parallel.tensor.tp_param_constraint``); when resuming via
+    ``resume_carry`` the carried params' existing sharding wins instead.
+
     Buffer donation happens at the CALLER's outermost ``jax.jit`` (an inner
     jit's donation is ignored under an outer jit/vmap). Measured outcomes
     (DESIGN.md "Buffer donation"): donating ``run_cv``'s fold-stacked train
