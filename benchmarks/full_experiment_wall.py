@@ -24,6 +24,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-loso", action="store_true",
                     help="skip the 66-fold LOSO stage")
+    ap.add_argument("--aot", default=None, metavar="DIR",
+                    help="AOT bundle cache dir (core/aot.py): first run "
+                         "exports each fit program, later runs skip "
+                         "re-tracing them")
     args = ap.parse_args()
 
     from multimodal_eeg_fmri_tpu.core.cache import enable_compilation_cache
@@ -40,7 +44,8 @@ def main():
 
     t0 = time.perf_counter()
     results = run_eeg_experiment(cfg, data=data,
-                                 with_loso=not args.no_loso, export=False)
+                                 with_loso=not args.no_loso, export=False,
+                                 aot_dir=args.aot)
     wall = time.perf_counter() - t0
 
     rows = []

@@ -113,6 +113,41 @@ def export_jitted(jitted_fn: Callable, example_args: tuple,
     return blob
 
 
+def _strip_addresses(s: str) -> str:
+    import re
+
+    return re.sub(r"0x[0-9a-fA-F]+", "0x", s)
+
+
+def bundle_or_jit(jitted_fn: Callable, example_args: tuple,
+                  cache_dir: str | Path, tag: str = "") -> Callable:
+    """Transparent AOT bundle cache around a jitted function.
+
+    Key = (tag, jax version, the args' shapes/dtypes/treedef). On a hit,
+    returns the deserialized bundle (no tracing); on a miss, exports the
+    bundle for next time and returns the live jitted function (which this
+    process must trace anyway). ``tag`` must capture everything beyond
+    shapes that changes the computation (model + train config reprs).
+
+    The cache is keyed by configuration, NOT by code version — delete the
+    directory after changing framework internals.
+    """
+    import hashlib
+
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(example_args)
+    sig = "|".join(f"{getattr(x, 'shape', ())}:{getattr(x, 'dtype', type(x).__name__)}"
+                   for x in leaves)
+    key_src = f"{_strip_addresses(tag)}::{jax.__version__}::{treedef}::{sig}"
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
+    path = cache_dir / f"{key}.shlo"
+    if path.exists():
+        return load_bundle(path)
+    export_jitted(jitted_fn, example_args, path)
+    return jitted_fn
+
+
 def load_bundle(path_or_bytes: str | Path | bytes) -> Callable:
     """Load an AOT bundle into a callable. Skips flax module construction,
     tracing, and lowering; the XLA compile of the embedded StableHLO runs

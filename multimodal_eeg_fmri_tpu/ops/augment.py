@@ -57,4 +57,8 @@ def make_eeg_augment(
                 )
         return out
 
+    # stable identity for the AOT bundle cache (closure reprs carry
+    # addresses, not parameters)
+    augment._aot_tag = (f"eeg_augment(keys={tuple(keys)},noise={noise_std},"
+                        f"cd={channel_dropout},p={prob})")
     return augment

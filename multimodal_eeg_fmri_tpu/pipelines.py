@@ -137,9 +137,14 @@ def run_eeg_experiment(
     with_loso: bool = True,
     export: bool = True,
     mesh_plan=None,
+    aot_dir: Optional[str] = None,
 ) -> Dict[str, Any]:
     """4-model EEG comparison over subject-grouped stratified 5-fold CV,
-    plus LOSO subject voting, stats and late fusion."""
+    plus LOSO subject voting, stats and late fusion.
+
+    ``aot_dir`` enables the AOT bundle cache: each fold-vmapped fit program
+    serializes there on first build, and subsequent processes load it
+    without re-tracing (core/aot.py)."""
     cfg = cfg or ExperimentConfig()
     enable_compilation_cache()
     seed_everything(cfg.train.seed)
@@ -165,7 +170,7 @@ def run_eeg_experiment(
     results = run_model_suite(
         models, cfg.train, data, splits,
         normalize_keys=("erp", "pw", "conn"), augment=augment,
-        mesh_plan=mesh_plan,
+        mesh_plan=mesh_plan, aot_dir=aot_dir,
     )
     for name, r in results.items():
         logger.info("%s: %s", name,
@@ -185,7 +190,7 @@ def run_eeg_experiment(
         loso = run_cv(models["trimodal"], cfg.train, data,
                       loso_splits(data, cfg.train),
                       normalize_keys=("erp", "pw", "conn"), augment=augment,
-                      mesh_plan=mesh_plan)
+                      mesh_plan=mesh_plan, aot_dir=aot_dir)
         votes = subject_level_votes(loso)
         labels = {int(s): int(l) for s, l in zip(data["subject"],
                                                  data["label"])}

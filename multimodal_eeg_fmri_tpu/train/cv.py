@@ -143,8 +143,14 @@ def run_cv(
     mesh_plan=None,
     rng: Optional[jax.Array] = None,
     num_epochs: Optional[int] = None,
+    aot_dir: Optional[str] = None,
 ) -> CVResult:
-    """Train one model architecture across all folds simultaneously."""
+    """Train one model architecture across all folds simultaneously.
+
+    ``aot_dir`` (optional) enables the AOT bundle cache (core/aot.py): the
+    fold-vmapped fit program is serialized there keyed by config+shapes,
+    and later processes skip re-tracing it entirely.
+    """
     # 'subject' rides along in the stacks (split_batch keeps it out of the
     # model inputs) so LOSO votes and per-subject reports can use it.
     model_data = {k: np.asarray(v) for k, v in data.items()}
@@ -186,6 +192,15 @@ def run_cv(
     # matches the data shapes. The carry→carry resume path (train/resilient)
     # is where donation aliases 100% — see docs/DESIGN.md.
     vfit = jax.jit(jax.vmap(fit_fn))
+    if aot_dir is not None:
+        from multimodal_eeg_fmri_tpu.core.aot import bundle_or_jit
+
+        tag = (f"run_cv::{model!r}::{cfg!r}::task={task}"
+               f"::evals={tuple(eval_stacks.keys())}"
+               f"::epochs={num_epochs}"
+               f"::aug={getattr(augment, '_aot_tag', repr(augment))}")
+        vfit = bundle_or_jit(
+            vfit, (fold_rngs, train_dev, evals_dev, cw_dev), aot_dir, tag)
     res: FitResult = vfit(fold_rngs, train_dev, evals_dev, cw_dev)
 
     # final test metrics from the selected (best) state, per fold

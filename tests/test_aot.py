@@ -47,3 +47,31 @@ def test_fit_bundle_roundtrip(tmp_path):
     assert out.carry is not None
     np.testing.assert_allclose(np.asarray(out.carry.epoch),
                                np.asarray(ref.carry.epoch))
+
+
+def test_bundle_or_jit_cache(tmp_path):
+    """run_cv with aot_dir: first call exports a bundle, second call (same
+    config+shapes) loads it and reproduces the fold metrics exactly."""
+    from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+    from multimodal_eeg_fmri_tpu.train.cv import eeg_kfold_splits, run_cv
+
+    data = synthetic_eeg_trimodal(n_subjects=16, time_steps=32,
+                                  separation=2.0, seed=2)
+    cfg = TrainConfig(batch_size=4, num_epochs=3, learning_rate=3e-3,
+                      schedule="constant", selection="val", patience=100)
+    model = TriModalFusionNetV4Lite(hidden_dim=16)
+    splits = eeg_kfold_splits(data, cfg, n_splits=3)
+
+    res1 = run_cv(model, cfg, data, splits,
+                  normalize_keys=("erp", "pw", "conn"),
+                  aot_dir=str(tmp_path))
+    bundles = list(tmp_path.glob("*.shlo"))
+    assert len(bundles) == 1  # miss -> exported
+
+    res2 = run_cv(model, cfg, data, splits,
+                  normalize_keys=("erp", "pw", "conn"),
+                  aot_dir=str(tmp_path))
+    assert list(tmp_path.glob("*.shlo")) == bundles  # hit -> no new export
+    np.testing.assert_allclose(res2.fold_metrics["f1"],
+                               res1.fold_metrics["f1"], atol=1e-6)
+    np.testing.assert_allclose(res2.test_probs, res1.test_probs, atol=1e-6)
