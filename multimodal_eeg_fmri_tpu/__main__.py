@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, help="override RNG seed")
     p.add_argument("--epochs", type=int, help="override epoch count")
     p.add_argument("--no-export", action="store_true")
+    p.add_argument("--aot-dir", default=None, metavar="DIR",
+                   help="AOT bundle cache directory (eeg pipeline): "
+                        "skip re-tracing fit programs across runs")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     args = p.parse_args(argv)
@@ -56,7 +59,8 @@ def main(argv=None) -> int:
 
     export = not args.no_export
     if args.pipeline == "eeg":
-        out = pipelines.run_eeg_experiment(cfg, export=export)
+        out = pipelines.run_eeg_experiment(cfg, export=export,
+                                           aot_dir=args.aot_dir)
         summary = {m: r.summary for m, r in out["kfold"].items()}
     elif args.pipeline == "fmri":
         out = pipelines.run_fmri_experiment(cfg, export=export)
