@@ -18,8 +18,12 @@ def main(argv=None) -> int:
         prog="multimodal_eeg_fmri_tpu",
         description="TPU-native multimodal EEG+fMRI pipelines",
     )
-    p.add_argument("--pipeline", choices=["eeg", "fmri", "bridge", "lite"],
-                   required=True)
+    p.add_argument("--pipeline",
+                   choices=["eeg", "fmri", "bridge", "lite", "all"],
+                   required=True,
+                   help="'all' runs eeg -> fmri -> bridge -> lite "
+                        "back-to-back (the complete reference workload; "
+                        "the reference needs 4 separate scripts/notebooks)")
     p.add_argument("--config", help="YAML config overlay path")
     p.add_argument("--output-dir", help="override output directory")
     p.add_argument("--seed", type=int, help="override RNG seed")
@@ -58,7 +62,22 @@ def main(argv=None) -> int:
     from multimodal_eeg_fmri_tpu import pipelines
 
     export = not args.no_export
-    if args.pipeline == "eeg":
+    if args.pipeline == "all":
+        summary = {}
+        out = {}
+        out["eeg"] = pipelines.run_eeg_experiment(cfg, export=export,
+                                                  aot_dir=args.aot_dir)
+        summary["eeg"] = {m: r.summary
+                          for m, r in out["eeg"]["kfold"].items()}
+        out["fmri"] = pipelines.run_fmri_experiment(cfg, export=export,
+                                                    aot_dir=args.aot_dir)
+        summary["fmri"] = {m: r.summary
+                           for m, r in out["fmri"]["classification"].items()}
+        out["bridge"] = pipelines.run_bridge_experiment(cfg, export=export)
+        summary["bridge"] = out["bridge"]["bridge"].loocv_metrics
+        out["lite"] = pipelines.run_lite_training(cfg, export=export)
+        summary["lite"] = out["lite"]["lite"].summary
+    elif args.pipeline == "eeg":
         out = pipelines.run_eeg_experiment(cfg, export=export,
                                            aot_dir=args.aot_dir)
         summary = {m: r.summary for m, r in out["kfold"].items()}

@@ -209,6 +209,7 @@ def run_fmri_experiment(
     export: bool = True,
     with_loso: bool = False,
     mesh_plan=None,
+    aot_dir: Optional[str] = None,
 ) -> Dict[str, Any]:
     """3-model fMRI comparison: classification + (when labels exist)
     regression, leakage-free val split protocol. ``with_loso`` adds the
@@ -232,7 +233,7 @@ def run_fmri_experiment(
     results = run_model_suite(
         models, cfg.train, cls_data, splits,
         normalize="feature", normalize_keys=("activation", "connectivity"),
-        mesh_plan=mesh_plan,
+        mesh_plan=mesh_plan, aot_dir=aot_dir,
     )
     out: Dict[str, Any] = {"classification": results}
     for name, r in results.items():
@@ -259,7 +260,7 @@ def run_fmri_experiment(
             reg_models, cfg.train, reg_data, reg_splits,
             task="regression", normalize="feature",
             normalize_keys=("activation", "connectivity"),
-            mesh_plan=mesh_plan,
+            mesh_plan=mesh_plan, aot_dir=aot_dir,
         )
         for name, r in out["regression"].items():
             logger.info("fMRI regression %s: %s", name,
@@ -270,7 +271,7 @@ def run_fmri_experiment(
                       loso_splits(cls_data, cfg.train),
                       normalize="feature",
                       normalize_keys=("activation", "connectivity"),
-                      mesh_plan=mesh_plan)
+                      mesh_plan=mesh_plan, aot_dir=aot_dir)
         votes = subject_level_votes(loso)
         labels = {int(s): int(l) for s, l in zip(cls_data["subject"],
                                                  cls_data["label"])}

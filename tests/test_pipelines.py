@@ -113,3 +113,45 @@ def test_cli_requires_pipeline():
 
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_cli_all_pipelines(tmp_path, monkeypatch):
+    """`--pipeline all` chains eeg -> fmri -> bridge -> lite and merges the
+    summaries (stage logic is covered by the per-pipeline tests; this
+    verifies the CLI wiring with stubs)."""
+    import io
+    import contextlib
+    import json
+    import types
+
+    from multimodal_eeg_fmri_tpu import __main__ as cli
+    from multimodal_eeg_fmri_tpu import pipelines as pl
+
+    calls = []
+
+    class _R:
+        summary = {"f1": (1.0, 0.0)}
+        loocv_metrics = {"f1": 1.0}
+
+    monkeypatch.setattr(pl, "run_eeg_experiment",
+                        lambda cfg, export, aot_dir=None:
+                        calls.append("eeg") or {"kfold": {"trimodal": _R()}})
+    monkeypatch.setattr(pl, "run_fmri_experiment",
+                        lambda cfg, export, aot_dir=None:
+                        calls.append("fmri") or
+                        {"classification": {"fusion": _R()}})
+    monkeypatch.setattr(pl, "run_bridge_experiment",
+                        lambda cfg, export:
+                        calls.append("bridge") or
+                        {"bridge": _R()})
+    monkeypatch.setattr(pl, "run_lite_training",
+                        lambda cfg, export:
+                        calls.append("lite") or {"lite": _R()})
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["--pipeline", "all", "--no-export", "--cpu"])
+    assert rc == 0
+    assert calls == ["eeg", "fmri", "bridge", "lite"]
+    out = json.loads(buf.getvalue())
+    assert set(out["summary"]) == {"eeg", "fmri", "bridge", "lite"}
