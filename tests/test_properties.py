@@ -38,9 +38,6 @@ def _arrays(draw):
             np.asarray(weights, np.float32))
 
 
-pack = st.builds(lambda d: d, st.data())
-
-
 @settings(max_examples=25, deadline=None)
 @given(st.data())
 def test_padding_rows_never_change_losses(data):
