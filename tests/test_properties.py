@@ -141,3 +141,48 @@ def test_zscore_normalizes(seed):
     z = np.asarray(zscore(x, axis=1))
     np.testing.assert_allclose(z.mean(axis=1), 0.0, atol=1e-5)
     np.testing.assert_allclose(z.std(axis=1), 1.0, atol=1e-4)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_native_csv_fuzz_matches_numpy(tmp_path_factory, data):
+    """Fuzz the native CSV parser (native/fastio.cpp via ctypes): random
+    tables, with/without trailing newline, \\r\\n endings, NaN cells —
+    parsed values must match the written matrix (NaN→0), exercising the
+    unterminated-final-line path the round-1 advisor flagged."""
+    from multimodal_eeg_fmri_tpu.data.native_io import (
+        native_available, read_csv_f32)
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+
+    rows = data.draw(st.integers(1, 12))
+    cols = data.draw(st.integers(1, 8))
+    vals = np.asarray(
+        data.draw(st.lists(
+            st.one_of(
+                st.floats(-1e6, 1e6, allow_nan=False, width=32,
+                          allow_subnormal=False),
+                st.just(float("nan")),
+            ),
+            min_size=rows * cols, max_size=rows * cols)),
+        np.float32).reshape(rows, cols)
+    trailing_newline = data.draw(st.booleans())
+    crlf = data.draw(st.booleans())
+
+    eol = "\r\n" if crlf else "\n"
+    header = ",".join(f"c{i}" for i in range(cols))
+    body = eol.join(
+        ",".join("nan" if np.isnan(v) else repr(float(v)) for v in row)
+        for row in vals)
+    text = header + eol + body + (eol if trailing_newline else "")
+
+    d = tmp_path_factory.mktemp("csvfuzz")
+    path = d / "t.csv"
+    path.write_text(text)
+
+    got = read_csv_f32(path)
+    assert got is not None, "native parser returned failure"
+    assert got.shape == (rows, cols)
+    np.testing.assert_allclose(got, np.nan_to_num(vals), rtol=1e-6,
+                               atol=1e-6)
