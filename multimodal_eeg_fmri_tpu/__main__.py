@@ -30,7 +30,7 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, help="override epoch count")
     p.add_argument("--no-export", action="store_true")
     p.add_argument("--aot-dir", default=None, metavar="DIR",
-                   help="AOT bundle cache directory (eeg pipeline): "
+                   help="AOT bundle cache directory (eeg/fmri pipelines): "
                         "skip re-tracing fit programs across runs")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
