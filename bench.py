@@ -265,7 +265,19 @@ def main():
 
     enable_compilation_cache()
 
-    ms = bench_train_step(raw_eeg=False)
+    # the remote-TPU tunnel occasionally drops a run with a transient
+    # backend error (observed: FAILED_PRECONDITION mid-fetch); never lose
+    # the headline metric to one hiccup
+    last_err = None
+    for _ in range(3):
+        try:
+            ms = bench_train_step(raw_eeg=False)
+            break
+        except Exception as e:
+            last_err = e
+            time.sleep(10)
+    else:
+        raise last_err
 
     extra = {}
     for key, fn in (

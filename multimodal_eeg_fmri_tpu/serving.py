@@ -122,16 +122,30 @@ class Predictor:
         return blob
 
     def benchmark(self, example: Dict[str, np.ndarray], warmup: int = 3,
-                  iters: int = 30) -> Dict[str, float]:
-        """Serving-latency percentiles for one compiled batch."""
+                  iters: int = 30, sync: str = "block") -> Dict[str, float]:
+        """Serving-latency percentiles for one compiled batch.
+
+        ``sync="block"`` (default) times via ``block_until_ready`` — correct
+        on direct-attached devices. On remote/tunneled backends that is NOT
+        a reliable sync and the tunnel memoizes identical executions; use
+        ``sync="fetch"``, which perturbs the inputs per request and fetches
+        a result scalar (full request→response latency, link included).
+        """
         dev = {k: jnp.asarray(np.asarray(v)[: self.batch_size])
                for k, v in example.items() if k not in RESERVED_KEYS}
         for _ in range(warmup):
             jax.block_until_ready(self._forward(self._variables, dev))
         times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(self._forward(self._variables, dev))
+        for i in range(iters):
+            if sync == "fetch":
+                req = {k: v + np.float32(1e-3 * (i + 1))
+                       if jnp.issubdtype(v.dtype, jnp.floating) else v
+                       for k, v in dev.items()}
+                t0 = time.perf_counter()
+                float(self._forward(self._variables, req).ravel()[0])
+            else:
+                t0 = time.perf_counter()
+                jax.block_until_ready(self._forward(self._variables, dev))
             times.append((time.perf_counter() - t0) * 1000.0)
         a = np.asarray(times)
         return {"p50_ms": float(np.percentile(a, 50)),
