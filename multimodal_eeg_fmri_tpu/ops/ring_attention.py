@@ -80,14 +80,25 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
     return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
 
 
-def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS):
+def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS,
+                   head_axis: Optional[str] = None):
     """Sequence-parallel attention: (B, H, T, D) with T sharded over
     ``mesh`` axis ``axis``. Returns the same-sharded output. T must divide
-    the axis size. Differentiable end-to-end."""
+    the axis size. Differentiable end-to-end.
+
+    ``head_axis`` additionally shards the HEAD dim over a second mesh axis
+    (sequence × tensor parallelism in one mesh): heads are independent, so
+    the ring math is untouched — each device runs the ring over its head
+    slice, no extra collective.
+    """
     n = mesh.shape[axis]
     if q.shape[2] % n:
         raise ValueError(f"T={q.shape[2]} not divisible by ring size {n}")
-    spec = P(None, None, axis, None)
+    if head_axis is not None and q.shape[1] % mesh.shape[head_axis]:
+        raise ValueError(
+            f"H={q.shape[1]} not divisible by {head_axis}="
+            f"{mesh.shape[head_axis]}")
+    spec = P(None, head_axis, axis, None)
     fn = jax.shard_map(
         partial(ring_attention_local, axis_name=axis, axis_size=n),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
@@ -96,7 +107,9 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS):
     return fn(q, k, v)
 
 
-def shard_sequence(x, mesh: Mesh, axis: str = SEQ_AXIS):
-    """Device-put (B, H, T, D) arrays with the T axis sharded for the ring."""
+def shard_sequence(x, mesh: Mesh, axis: str = SEQ_AXIS,
+                   head_axis: Optional[str] = None):
+    """Device-put (B, H, T, D) arrays with the T axis sharded for the ring
+    (and optionally heads over ``head_axis``)."""
     return jax.device_put(
-        x, NamedSharding(mesh, P(None, None, axis, None)))
+        x, NamedSharding(mesh, P(None, head_axis, axis, None)))

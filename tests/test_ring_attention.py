@@ -81,3 +81,19 @@ def test_ring_numerics_extreme_logits():
     assert np.all(np.isfinite(np.asarray(got)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=5e-5)
+
+
+@needs8
+def test_ring_composes_with_head_sharding():
+    """Sequence x tensor parallelism in one mesh: T over a ring of 4,
+    heads over a model axis of 2 — still exact vs full attention."""
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("seq", "model"))
+    q, k, v = _qkv(B=2, H=4, T=64, D=16, seed=9)
+    ref = reference_attention(q, k, v)
+    qs, ks, vs = (shard_sequence(x, mesh, axis="seq", head_axis="model")
+                  for x in (q, k, v))
+    got = jax.jit(lambda a, b, c: ring_attention(
+        a, b, c, mesh, axis="seq", head_axis="model"))(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
