@@ -260,6 +260,10 @@ class EnsemblePredictor:
                        if all(b is not None for b in bs_list) else None)
         return cls(model, params, batch_stats, **kw)
 
+    # the K-model late-fusion forward serializes the same way as the
+    # single-model one: weights baked in, one self-contained file
+    export_artifact = Predictor.export_artifact
+
     def __call__(self, **inputs) -> np.ndarray:
         inputs = {k: v for k, v in inputs.items() if k not in RESERVED_KEYS}
         n = len(next(iter(inputs.values())))

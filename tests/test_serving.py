@@ -145,3 +145,21 @@ def test_export_artifact_roundtrip(trained, tmp_path):
                  fmri=jnp.asarray(example["fmri"]))
     want = p(**example)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_ensemble_export_artifact_roundtrip(fold_models, tmp_path):
+    """The whole K-model late-fusion ensemble ships as ONE StableHLO
+    artifact and reproduces the live sharded predictor."""
+    from multimodal_eeg_fmri_tpu.serving import load_artifact
+
+    model, _, stacked, data = fold_models
+    ens = EnsemblePredictor(model, stacked, batch_size=8)
+    example = {"eeg": data["eeg"][:8], "fmri": data["fmri"][:8]}
+    path = tmp_path / "ensemble.stablehlo"
+    ens.export_artifact(example, str(path))
+
+    served = load_artifact(str(path))
+    got = served(eeg=jnp.asarray(example["eeg"]),
+                 fmri=jnp.asarray(example["fmri"]))
+    want = ens(**example)
+    np.testing.assert_allclose(got, want, atol=1e-6)
