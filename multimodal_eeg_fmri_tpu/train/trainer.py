@@ -76,14 +76,36 @@ class Trainer:
     def batch_stats(self):
         return None if self._carry is None else self._carry.batch_stats
 
+    def _host_lr_scale(self) -> float:
+        """The LR multiplier for the NEXT epoch, computed host-side —
+        mirrors the compiled core's schedule handling (train/fit.py:332)
+        so the imperative API honors every ``TrainConfig.schedule``."""
+        if self.cfg.schedule == "plateau":
+            return float(self._plateau.scale)
+        if self.cfg.schedule == "warmup_cosine":
+            from multimodal_eeg_fmri_tpu.train.fit import _cosine_scale
+
+            return float(_cosine_scale(
+                self.cfg, jnp.asarray(self.epoch, jnp.int32)))
+        if self.cfg.schedule == "constant":
+            return 1.0
+        raise ValueError(
+            f"Trainer does not support schedule={self.cfg.schedule!r}")
+
     # -- API ---------------------------------------------------------------
     def train_one_epoch(self, train_data, class_weights=None) -> float:
         """Run one compiled epoch; returns mean train loss."""
         dev = jax.tree_util.tree_map(jnp.asarray, train_data)
         cw = jnp.asarray(class_weights) if class_weights is not None else None
-        if self._carry is not None and self.cfg.schedule == "plateau":
+        scale = self._host_lr_scale()
+        if self._carry is None and scale != 1.0:
+            # first epoch must already run at the scheduled scale (e.g.
+            # cosine warmup epoch 0 = 1/warmup_epochs, not 1.0) — build
+            # the carry up front so lr_scale can be set before training
+            self._carry = self._init_carry(train_data)
+        if self._carry is not None:
             self._carry = self._carry.replace(
-                lr_scale=jnp.asarray(self._plateau.scale, jnp.float32))
+                lr_scale=jnp.asarray(scale, jnp.float32))
         res = self._fit1(self.rng, dev, {}, cw, None, self._carry)
         self._carry = res.carry
         self.rng = res.carry.rng

@@ -76,6 +76,56 @@ def test_checkpoint_resume_bit_exact(tmp_path):
         tr_b.params, tr_full.params)
 
 
+def test_trainer_warmup_cosine_matches_compiled_fit():
+    """A ``warmup_cosine`` schedule through the imperative Trainer must
+    produce the SAME loss history as the compiled multi-epoch fit —
+    epoch-for-epoch, bit-exact (the host-side ``_host_lr_scale`` mirrors
+    train/fit.py's in-graph ``_cosine_scale``). Guards the round-2 hole
+    where the Trainer silently trained at constant LR."""
+    import jax.numpy as jnp
+
+    from multimodal_eeg_fmri_tpu.train.fit import make_fit_fn
+
+    data = synthetic_bridge(n_subjects=12, separation=1.0, seed=5)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(12)), 12)
+    cfg = TrainConfig(batch_size=4, num_epochs=6, learning_rate=2e-3,
+                      schedule="warmup_cosine", warmup_epochs=2,
+                      patience=100, selection="train_loss")
+
+    fit = jax.jit(make_fit_fn(BridgeFusionNet(bridge_dim=16), cfg,
+                              eval_names=()))
+    rng = jax.random.key(cfg.seed)
+    res = fit(rng, jax.tree_util.tree_map(jnp.asarray, train), {}, None)
+    compiled_losses = np.asarray(res.history["train_loss"])
+    compiled_scales = np.asarray(res.history["lr_scale"])
+    # the schedule must actually vary (warmup then cosine decay)
+    assert len(set(np.round(compiled_scales, 6))) > 2
+
+    tr = Trainer(BridgeFusionNet(bridge_dim=16), cfg)
+    host_scales, losses = [], []
+    for _ in range(6):
+        host_scales.append(tr._host_lr_scale())
+        losses.append(tr.train_one_epoch(train))
+    # the host-side schedule must reproduce the in-graph one exactly...
+    np.testing.assert_allclose(host_scales, compiled_scales, rtol=1e-6)
+    # ...and the resulting training trajectory must agree (not bit-exact:
+    # the one-epoch jit takes lr_scale as a runtime carry value while the
+    # multi-epoch fit constant-folds the cosine in-graph — 1-ulp scale
+    # differences compound into ~1e-7 loss differences)
+    np.testing.assert_allclose(losses, compiled_losses, rtol=1e-5)
+
+
+def test_trainer_rejects_unknown_schedule():
+    data = synthetic_bridge(n_subjects=8, separation=1.0, seed=6)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(8)), 8)
+    cfg = TrainConfig(batch_size=4, num_epochs=1, schedule="exotic")
+    tr = Trainer(BridgeFusionNet(bridge_dim=16), cfg)
+    with pytest.raises(ValueError, match="schedule"):
+        tr.train_one_epoch(train)
+
+
 def test_load_checkpoint_before_training(tmp_path):
     """load_checkpoint must work on a freshly-constructed trainer when
     given data to build the state structure."""
