@@ -82,7 +82,8 @@ def main(argv=None) -> int:
                                            aot_dir=args.aot_dir)
         summary = {m: r.summary for m, r in out["kfold"].items()}
     elif args.pipeline == "fmri":
-        out = pipelines.run_fmri_experiment(cfg, export=export)
+        out = pipelines.run_fmri_experiment(cfg, export=export,
+                                            aot_dir=args.aot_dir)
         summary = {m: r.summary for m, r in out["classification"].items()}
     elif args.pipeline == "bridge":
         out = pipelines.run_bridge_experiment(cfg, export=export)

@@ -23,6 +23,8 @@ works without having seen the original objects.
 from __future__ import annotations
 
 import dataclasses
+import json
+import logging
 import pickle
 from pathlib import Path
 from typing import Any, Callable
@@ -30,6 +32,7 @@ from typing import Any, Callable
 import jax
 
 _REGISTERED: set = set()
+_REGISTERED_NAMES: set = set()
 
 
 def _register_one(cls) -> None:
@@ -52,20 +55,33 @@ def _register_one(cls) -> None:
                 deserialize_auxdata=pickle.loads)
         else:
             return
-    except ValueError:
-        pass  # already registered (possibly under another name)
+    except ValueError as e:
+        # only the benign double-registration case may be swallowed;
+        # anything else is a genuine registration failure
+        msg = str(e).lower()
+        if "duplicate" not in msg and "already registered" not in msg:
+            raise
     _REGISTERED.add(cls)
+    _REGISTERED_NAMES.add(name)
 
 
-def _register_tree_types(tree: Any) -> None:
-    """Register every custom pytree node type reachable in ``tree``."""
+def _register_tree_types(tree: Any) -> set:
+    """Register every custom pytree node type reachable in ``tree``.
+    Returns the set of serialized names encountered (used to persist the
+    bundle's type manifest)."""
+    names: set = set()
+
+    def note(cls):
+        _register_one(cls)
+        names.add(f"{cls.__module__}.{cls.__qualname__}")
+
     def walk(x):
         if isinstance(x, tuple) and hasattr(x, "_fields"):
-            _register_one(type(x))
+            note(type(x))
             for c in x:
                 walk(c)
         elif dataclasses.is_dataclass(x) and not isinstance(x, type):
-            _register_one(type(x))
+            note(type(x))
             for f in dataclasses.fields(x):
                 walk(getattr(x, f.name))
         elif isinstance(x, dict):
@@ -76,6 +92,7 @@ def _register_tree_types(tree: Any) -> None:
                 walk(v)
 
     walk(tree)
+    return names
 
 
 def _register_fit_types() -> None:
@@ -99,10 +116,10 @@ def export_jitted(jitted_fn: Callable, example_args: tuple,
     from jax import export as jax_export
 
     _register_fit_types()
-    _register_tree_types(example_args)
+    names = _register_tree_types(example_args)
     # outputs can carry further custom nodes (FitResult, carry, opt state)
     out_shape = jax.eval_shape(jitted_fn, *example_args)
-    _register_tree_types(out_shape)
+    names |= _register_tree_types(out_shape)
 
     spec = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), example_args)
@@ -110,7 +127,15 @@ def export_jitted(jitted_fn: Callable, example_args: tuple,
     blob = exp.serialize()
     if path is not None:
         Path(path).write_bytes(blob)
+        # type manifest: which custom node registrations a fresh process
+        # needs before this bundle can deserialize — load_bundle checks it
+        # and fails with an actionable error instead of a pytree crash
+        _types_sidecar(path).write_text(json.dumps(sorted(names)))
     return blob
+
+
+def _types_sidecar(path: str | Path) -> Path:
+    return Path(str(path) + ".types.json")
 
 
 def _strip_addresses(s: str) -> str:
@@ -139,11 +164,35 @@ def bundle_or_jit(jitted_fn: Callable, example_args: tuple,
     leaves, treedef = jax.tree_util.tree_flatten(example_args)
     sig = "|".join(f"{getattr(x, 'shape', ())}:{getattr(x, 'dtype', type(x).__name__)}"
                    for x in leaves)
-    key_src = f"{_strip_addresses(tag)}::{jax.__version__}::{treedef}::{sig}"
+    # jax.export bakes the lowering platform and the device assignment into
+    # the bundle — the same shapes exported on CPU (or on a different device
+    # count) are a DIFFERENT program, so both belong in the key
+    key_src = (f"{_strip_addresses(tag)}::{jax.__version__}"
+               f"::{jax.default_backend()}::{jax.device_count()}"
+               f"::{treedef}::{sig}")
     key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
     path = cache_dir / f"{key}.shlo"
     if path.exists():
-        return load_bundle(path)
+        loaded = load_bundle(path)
+
+        def call_with_fallback(*args):
+            try:
+                return loaded(*args)
+            except ValueError as e:
+                # belt-and-braces: a stale bundle (e.g. cache dir copied
+                # across machines) that was lowered for another platform /
+                # topology falls back to the live jit and is rewritten
+                msg = str(e).lower()
+                if "platform" not in msg and "device" not in msg:
+                    raise
+                logging.getLogger(__name__).warning(
+                    "AOT bundle %s is unusable on this backend (%s); "
+                    "re-exporting and running the live jitted function",
+                    path, e)
+                export_jitted(jitted_fn, example_args, path)
+                return jitted_fn(*args)
+
+        return call_with_fallback
     export_jitted(jitted_fn, example_args, path)
     return jitted_fn
 
@@ -155,6 +204,18 @@ def load_bundle(path_or_bytes: str | Path | bytes) -> Callable:
     from jax import export as jax_export
 
     _register_fit_types()
+    if not isinstance(path_or_bytes, bytes):
+        sidecar = _types_sidecar(path_or_bytes)
+        if sidecar.exists():
+            needed = set(json.loads(sidecar.read_text()))
+            missing = needed - _REGISTERED_NAMES
+            if missing:
+                raise RuntimeError(
+                    f"AOT bundle {path_or_bytes} requires pytree node "
+                    f"serializations not registered in this process: "
+                    f"{sorted(missing)}. Import the defining modules and "
+                    "register them (core.aot._register_tree_types on an "
+                    "example tree) before load_bundle.")
     blob = (path_or_bytes if isinstance(path_or_bytes, bytes)
             else Path(path_or_bytes).read_bytes())
     exp = jax_export.deserialize(blob)
