@@ -24,6 +24,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _coalition_enumerate(m: int):
+    """ALL 2^M − 2 proper coalitions with their exact Shapley kernel
+    weights w(z) = (M−1)/(C(M,|z|)·|z|·(M−|z|)). With complete enumeration
+    the constrained WLS solution EQUALS the Shapley values (Lundberg & Lee
+    2017, Thm 2) — used for small M and as the oracle path."""
+    from itertools import combinations
+    from math import comb
+
+    rows, weights = [], []
+    for s in range(1, m):
+        w = (m - 1) / (comb(m, s) * s * (m - s))
+        for idx in combinations(range(m), s):
+            z = np.zeros(m, np.float32)
+            z[list(idx)] = 1.0
+            rows.append(z)
+            weights.append(w)
+    return np.stack(rows), np.asarray(weights, np.float64)
+
+
 def _coalition_sample(m: int, n_samples: int, rng: np.random.Generator):
     """Sample coalitions + kernel weights, always including the paired
     complement (variance reduction, as shap's sampler does)."""
@@ -48,23 +67,32 @@ def kernel_shap(
     n_samples: int = 100,
     rng: Optional[np.random.Generator] = None,
     batch_eval: bool = True,
+    exact: bool = False,
 ) -> np.ndarray:
     """Shapley values (N, M) for scalar model output ``f`` (e.g. class-1
     probability). ``f`` receives a (K, M) array and returns (K,) — it should
     be a jitted device function; all N·n_samples coalition evaluations are
     issued as one call when ``batch_eval``.
+
+    ``exact=True`` enumerates all 2^M − 2 coalitions with explicit Shapley
+    kernel weights — the result is the exact Shapley values for any model
+    (feasible for M ≲ 16; 2^M model rows per explained sample).
     """
     rng = rng or np.random.default_rng(0)
     N, M = X.shape
     bg = background.reshape(-1, M).mean(axis=0)
 
-    Z = _coalition_sample(M, n_samples, rng)          # (S, M)
-    S = Z.shape[0]
-    # Coalition SIZES are sampled proportional to the Shapley kernel weight,
-    # so the sampling distribution already encodes the kernel (importance
-    # sampling, as shap's KernelExplainer does) — the WLS weights must be
-    # UNIFORM; re-applying the kernel here would square it.
-    w = np.ones(S, np.float64)
+    if exact:
+        Z, w = _coalition_enumerate(M)                 # (S, M), (S,)
+        S = Z.shape[0]
+    else:
+        Z = _coalition_sample(M, n_samples, rng)       # (S, M)
+        S = Z.shape[0]
+        # Coalition SIZES are sampled proportional to the Shapley kernel
+        # weight, so the sampling distribution already encodes the kernel
+        # (importance sampling, as shap's KernelExplainer does) — the WLS
+        # weights must be UNIFORM; re-applying the kernel would square it.
+        w = np.ones(S, np.float64)
 
     # masked inputs for every (sample, coalition): x·z + bg·(1−z)
     Xz = X[:, None, :] * Z[None] + bg[None, None, :] * (1 - Z)[None]  # (N,S,M)
