@@ -25,7 +25,7 @@ class _Proj(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.bridge_dim, name="dense")(x)
-        x = nn.LayerNorm(name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln")(x)
         x = gelu(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
@@ -66,7 +66,7 @@ class BridgeFusionNet(nn.Module):
         )
 
         x = nn.Dense(self.bridge_dim // 2, name="cls_dense")(fused)
-        x = nn.LayerNorm(name="cls_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="cls_ln")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         logits = nn.Dense(self.num_classes, name="cls_out")(x)

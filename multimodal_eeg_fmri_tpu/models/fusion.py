@@ -111,8 +111,8 @@ class BiDirectionalCrossAttention(nn.Module):
                 jnp.concatenate([pw, pw_att], axis=-1)
             )
         )
-        erp_out = nn.LayerNorm(name="norm_erp")(erp + drop(e_gate * erp_att))
-        pw_out = nn.LayerNorm(name="norm_pw")(pw + drop(p_gate * pw_att))
+        erp_out = nn.LayerNorm(epsilon=1e-5, name="norm_erp")(erp + drop(e_gate * erp_att))
+        pw_out = nn.LayerNorm(epsilon=1e-5, name="norm_pw")(pw + drop(p_gate * pw_att))
         return erp_out, pw_out
 
 

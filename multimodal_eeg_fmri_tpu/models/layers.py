@@ -83,6 +83,14 @@ class MultiHeadAttention(nn.Module):
     # the returned weights are None — only the XAI paths read them, and
     # those run at the reference's short lengths).
     flash_min_len: int = 256
+    # "auto" (length-based flash routing), "einsum", "flash", or "ring".
+    # "ring" runs sequence-parallel attention (ops/ring_attention.py): the
+    # TIME axis shards over ``mesh`` axis ``seq_axis`` and K/V chunks rotate
+    # via ppermute — the config-reachable long-context training path.
+    attn_impl: str = "auto"
+    mesh: Optional[jax.sharding.Mesh] = None
+    seq_axis: str = "seq"
+    head_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -107,12 +115,27 @@ class MultiHeadAttention(nn.Module):
         k = proj("k_proj")(key)
         v = proj("v_proj")(value)
 
-        use_flash = (
-            mask is None
-            and key.shape[1] >= self.flash_min_len
-            and (self.dropout == 0.0 or not train)
-        )
-        if use_flash:
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "flash" if (
+                mask is None
+                and key.shape[1] >= self.flash_min_len
+                and (self.dropout == 0.0 or not train)
+            ) else "einsum"
+        if impl == "ring":
+            if self.mesh is None:
+                raise ValueError("attn_impl='ring' requires a mesh")
+            from multimodal_eeg_fmri_tpu.ops.ring_attention import (
+                ring_attention,
+            )
+
+            out = ring_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), mesh=self.mesh, axis=self.seq_axis,
+                head_axis=self.head_axis,
+            ).transpose(0, 2, 1, 3)
+            mean_probs = None
+        elif impl == "flash":
             from multimodal_eeg_fmri_tpu.ops.attention import flash_attention
 
             out = flash_attention(
@@ -147,17 +170,25 @@ class TransformerBlock(nn.Module):
     num_heads: int = 4
     dim_feedforward: int = 0  # 0 → 4*d_model
     dropout: float = 0.1
+    # long-context routing, forwarded to MultiHeadAttention: "ring" shards
+    # the time axis over ``mesh``/``seq_axis`` (sequence parallelism)
+    attn_impl: str = "auto"
+    mesh: Optional[jax.sharding.Mesh] = None
+    seq_axis: str = "seq"
+    head_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         ff = self.dim_feedforward or 4 * self.d_model
-        y = nn.LayerNorm(name="norm1")(x)
-        y, _ = MultiHeadAttention(self.num_heads, self.dropout, name="attn")(
-            y, y, y, train=train
-        )
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        y, _ = MultiHeadAttention(
+            self.num_heads, self.dropout, attn_impl=self.attn_impl,
+            mesh=self.mesh, seq_axis=self.seq_axis, head_axis=self.head_axis,
+            name="attn",
+        )(y, y, y, train=train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
 
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(ff, name="ffn1")(y)
         y = gelu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -207,7 +238,7 @@ class MLP(nn.Module):
                         use_running_average=not train, name=f"bn_{i}"
                     )(x)
                 elif self.norm == "layer":
-                    x = nn.LayerNorm(name=f"ln_{i}")(x)
+                    x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
                 x = self.activation(x)
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x

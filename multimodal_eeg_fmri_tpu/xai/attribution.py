@@ -87,6 +87,7 @@ def integrated_gradients(
     target_class: Optional[jnp.ndarray] = None,
     baselines: Optional[Dict[str, jnp.ndarray]] = None,
     n_steps: int = 50,
+    frozen_keys: tuple = (),
 ) -> Dict[str, jnp.ndarray]:
     """IG with the reference's left-Riemann rule over α ∈ linspace(0,1,n):
     attribution = (x − x₀) ⊙ meanₐ ∇f(x₀ + α(x − x₀)).
@@ -94,6 +95,14 @@ def integrated_gradients(
     The α axis is a ``vmap`` dimension: one XLA program computes all
     n_steps × batch forward+backward passes. (The reference runs a host loop
     of 50 separate backward passes per sample — SURVEY §3.3 inner hot loop.)
+
+    ``frozen_keys``: modalities held at their FULL value at every α step
+    (not interpolated) but still attributed as x ⊙ meanₐ ∇. This reproduces
+    the reference EEG estimator, which never interpolates ``conn``
+    (``eeg_xai_analysis.py:203-204`` — ``conn_interp = conn.clone()`` inside
+    the α loop) while still multiplying by the full conn value (:233-234).
+    The default (interpolate everything) is the axiomatically-correct form
+    the bridge estimator uses (``bridge_utils.py:209-227``).
     """
     if baselines is None:
         baselines = jax.tree_util.tree_map(jnp.zeros_like, dict(inputs))
@@ -103,9 +112,11 @@ def integrated_gradients(
     )
 
     def grad_at_alpha(alpha):
-        interp = jax.tree_util.tree_map(
-            lambda b, d: b + alpha * d, baselines, diffs
-        )
+        interp = {
+            k: (inputs[k] if k in frozen_keys
+                else baselines[k] + alpha * diffs[k])
+            for k in inputs
+        }
 
         def scalar_fn(inp):
             logits = apply_fn(inp)

@@ -292,6 +292,7 @@ def make_trimodal_pair(seed=0):
                            conn=jnp.asarray(conn), train=False)
     tm = TorchTriModalV4(CE, CP, FC, HIDDEN, LAYERS, HEADS)
     load_trimodal_weights(tm, variables, HIDDEN)
+    tm.eval()  # flax side runs train=False; BN must use running stats
     return model, variables, tm, (erp, pw, conn)
 
 
@@ -371,40 +372,45 @@ def test_fmri_fusion_fullnet_forward_matches_torch():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_bridge_fullnet_forward_matches_torch():
+BRIDGE_E, BRIDGE_F, BRIDGE_D = 20, 10, 16
+
+
+class TorchBridge(nn.Module):
+    def __init__(self):
+        super().__init__()
+        E, FD, D = BRIDGE_E, BRIDGE_F, BRIDGE_D
+        self.ed = nn.Linear(E, D)
+        self.el = nn.LayerNorm(D)
+        self.fd = nn.Linear(FD, D)
+        self.fl = nn.LayerNorm(D)
+        self.cross = nn.MultiheadAttention(D, HEADS, batch_first=True)
+        self.fusion = TorchLearnedFusion(2, D)
+        self.c1 = nn.Linear(D, D // 2)
+        self.cl = nn.LayerNorm(D // 2)
+        self.c2 = nn.Linear(D // 2, 2)
+
+    def forward(self, eeg, fmri):
+        e = F.gelu(self.el(self.ed(eeg)))
+        f = F.gelu(self.fl(self.fd(fmri)))
+        seq = torch.stack([e, f], 1)
+        enh, aw = self.cross(e.unsqueeze(1), seq, seq)
+        fused, w = self.fusion([enh.squeeze(1), f])
+        x = F.relu(self.cl(self.c1(fused)))
+        return self.c2(x), fused, w, aw
+
+
+def make_bridge_pair(seed=2):
     from multimodal_eeg_fmri_tpu.models import BridgeFusionNet
 
-    E, FD, D = 20, 10, 16
+    E, FD, D = BRIDGE_E, BRIDGE_F, BRIDGE_D
     model = BridgeFusionNet(eeg_dim=E, fmri_dim=FD, bridge_dim=D,
                             num_heads=HEADS, dropout=0.0)
-    r = np.random.default_rng(2)
+    r = np.random.default_rng(seed)
     eeg = r.standard_normal((B, E)).astype(np.float32)
     fmri = r.standard_normal((B, FD)).astype(np.float32)
-    variables = model.init(jax.random.key(2), eeg=jnp.asarray(eeg),
+    variables = model.init(jax.random.key(seed), eeg=jnp.asarray(eeg),
                            fmri=jnp.asarray(fmri), train=False)
     p = variables["params"]
-
-    class TorchBridge(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.ed = nn.Linear(E, D)
-            self.el = nn.LayerNorm(D)
-            self.fd = nn.Linear(FD, D)
-            self.fl = nn.LayerNorm(D)
-            self.cross = nn.MultiheadAttention(D, HEADS, batch_first=True)
-            self.fusion = TorchLearnedFusion(2, D)
-            self.c1 = nn.Linear(D, D // 2)
-            self.cl = nn.LayerNorm(D // 2)
-            self.c2 = nn.Linear(D // 2, 2)
-
-        def forward(self, eeg, fmri):
-            e = F.gelu(self.el(self.ed(eeg)))
-            f = F.gelu(self.fl(self.fd(fmri)))
-            seq = torch.stack([e, f], 1)
-            enh, aw = self.cross(e.unsqueeze(1), seq, seq)
-            fused, w = self.fusion([enh.squeeze(1), f])
-            x = F.relu(self.cl(self.c1(fused)))
-            return self.c2(x), fused, w, aw
 
     tb = TorchBridge()
     with torch.no_grad():
@@ -412,7 +418,7 @@ def test_bridge_fullnet_forward_matches_torch():
         map_ln(tb.el, p["eeg_proj"]["ln"])
         map_dense(tb.fd, p["fmri_proj"]["dense"])
         map_ln(tb.fl, p["fmri_proj"]["ln"])
-        map_mha(tb.cross, p["cross_attn"], D)
+        map_mha(tb.cross, p["cross_attn"], BRIDGE_D)
         tb.fusion.logits.copy_(t(p["fusion"]["fusion_logits"]))
         tb.fusion.temperature.copy_(t(p["fusion"]["temperature"]))
         map_dense(tb.fusion.g1, p["fusion"]["gate1"])
@@ -421,6 +427,11 @@ def test_bridge_fullnet_forward_matches_torch():
         map_ln(tb.cl, p["cls_ln"])
         map_dense(tb.c2, p["cls_out"])
     tb.eval()
+    return model, variables, tb, (eeg, fmri)
+
+
+def test_bridge_fullnet_forward_matches_torch():
+    model, variables, tb, (eeg, fmri) = make_bridge_pair()
 
     out = model.apply(variables, eeg=jnp.asarray(eeg),
                       fmri=jnp.asarray(fmri), train=False)
@@ -496,3 +507,154 @@ def test_trimodal_v4_loss_curves_match_torch():
     np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=2e-4)
     # and the curve actually moves (guards against a trivially-flat match)
     assert losses_j[-1] != losses_j[0]
+
+
+# ---------------------------------------------------------------------------
+# attribution parity: framework xai vs the reference's exact estimators,
+# run on the weight-identical torch replicas
+# ---------------------------------------------------------------------------
+
+def _torch_one_hot_backward(logits, targets):
+    one_hot = torch.zeros_like(logits)
+    one_hot.scatter_(1, targets.view(-1, 1), 1)
+    logits.backward(gradient=one_hot)
+
+
+def _torch_saliency_trimodal(tm, erp_t, pw_t, conn_t, targets):
+    """The reference estimator verbatim in behavior: one forward, one-hot
+    backward, abs gradients (``eeg_xai_analysis.py:97-135``)."""
+    erp_t = erp_t.clone().detach().requires_grad_(True)
+    pw_t = pw_t.clone().detach().requires_grad_(True)
+    conn_t = conn_t.clone().detach().requires_grad_(True)
+    logits, _, _ = tm(erp_t, pw_t, conn_t)
+    tm.zero_grad()
+    _torch_one_hot_backward(logits, targets)
+    return {k: v.grad.abs().numpy()
+            for k, v in {"erp": erp_t, "pw": pw_t, "conn": conn_t}.items()}
+
+
+def _torch_ig_trimodal(tm, erp_t, pw_t, conn_t, targets, n_steps=50):
+    """The reference IG estimator: 50-step zero-baseline Riemann mean over
+    ``np.linspace(0, 1, 50)``, with conn held at FULL value each step but
+    still multiplied into the attribution
+    (``eeg_xai_analysis.py:168-236``)."""
+    erp_b, pw_b = torch.zeros_like(erp_t), torch.zeros_like(pw_t)
+    erp_d, pw_d = erp_t - erp_b, pw_t - pw_b
+    grads = {"erp": [], "pw": [], "conn": []}
+    for alpha in np.linspace(0, 1, n_steps):
+        erp_i = (erp_b + alpha * erp_d).detach().requires_grad_(True)
+        pw_i = (pw_b + alpha * pw_d).detach().requires_grad_(True)
+        conn_i = conn_t.clone().detach().requires_grad_(True)
+        logits, _, _ = tm(erp_i, pw_i, conn_i)
+        tm.zero_grad()
+        _torch_one_hot_backward(logits, targets)
+        grads["erp"].append(erp_i.grad.numpy())
+        grads["pw"].append(pw_i.grad.numpy())
+        grads["conn"].append(conn_i.grad.numpy())
+    return {
+        "erp": np.abs(erp_d.numpy() * np.mean(grads["erp"], axis=0)),
+        "pw": np.abs(pw_d.numpy() * np.mean(grads["pw"], axis=0)),
+        "conn": np.abs(conn_t.numpy() * np.mean(grads["conn"], axis=0)),
+    }
+
+
+def test_trimodal_attribution_parity_torch():
+    """Saliency, gradient×input and 50-step IG from ``xai/attribution.py``
+    must VALUE-match the reference's exact estimators
+    (``eeg_xai_analysis.py:97-236``) run on the weight-identical torch
+    replica — all three modalities, ≤1e-4. Closes the round-2 gap where
+    attributions were only self-consistency-tested."""
+    from multimodal_eeg_fmri_tpu.xai.attribution import (
+        gradient_saliency,
+        gradient_x_input,
+        integrated_gradients,
+        make_apply_fn,
+    )
+
+    model, variables, tm, (erp, pw, conn) = make_trimodal_pair(seed=7)
+    apply_fn = make_apply_fn(model, variables["params"],
+                             variables["batch_stats"])
+    inputs = {"erp": jnp.asarray(erp), "pw": jnp.asarray(pw),
+              "conn": jnp.asarray(conn)}
+    # fix the target class explicitly on both sides (the reference defaults
+    # to argmax-at-first-evaluation, which for its IG is argmax at α=0 — a
+    # baseline-input quirk; explicit targets compare the estimators proper)
+    targets = np.argmax(np.asarray(apply_fn(inputs)), axis=-1)
+    targets_t = torch.tensor(targets)
+    erp_t, pw_t, conn_t = t(erp.transpose(0, 2, 1)), t(pw.transpose(0, 2, 1)), t(conn)
+
+    def chlast(ref):  # torch replica is channels-first; framework last
+        return {"erp": ref["erp"].transpose(0, 2, 1),
+                "pw": ref["pw"].transpose(0, 2, 1), "conn": ref["conn"]}
+
+    sal = gradient_saliency(apply_fn, inputs, jnp.asarray(targets))
+    ref_sal = chlast(_torch_saliency_trimodal(tm, erp_t, pw_t, conn_t,
+                                              targets_t))
+    for k in ("erp", "pw", "conn"):
+        np.testing.assert_allclose(np.asarray(sal[k]), ref_sal[k],
+                                   rtol=1e-3, atol=1e-4, err_msg=f"sal {k}")
+
+    gxi = gradient_x_input(apply_fn, inputs, jnp.asarray(targets))
+    for k in ("erp", "pw", "conn"):
+        # reference gradient_x_input = |grad| * |x| (:144-150) == |grad*x|
+        np.testing.assert_allclose(
+            np.asarray(gxi[k]),
+            ref_sal[k] * np.abs(np.asarray(inputs[k])),
+            rtol=1e-3, atol=1e-4, err_msg=f"gxi {k}")
+
+    ig = integrated_gradients(apply_fn, inputs, jnp.asarray(targets),
+                              n_steps=50, frozen_keys=("conn",))
+    ref_ig = chlast(_torch_ig_trimodal(tm, erp_t, pw_t, conn_t, targets_t))
+    for k in ("erp", "pw", "conn"):
+        np.testing.assert_allclose(np.asarray(ig[k]), ref_ig[k],
+                                   rtol=1e-3, atol=1e-4, err_msg=f"ig {k}")
+
+
+def test_bridge_attribution_parity_torch():
+    """Bridge saliency + IG vs the reference bridge estimators
+    (``bridge_utils.py:158-229``) on the weight-identical replica."""
+    from multimodal_eeg_fmri_tpu.xai.attribution import (
+        gradient_saliency,
+        integrated_gradients,
+        make_apply_fn,
+    )
+
+    model, variables, tb, (eeg, fmri) = make_bridge_pair(seed=8)
+    apply_fn = make_apply_fn(model, variables["params"])
+    inputs = {"eeg": jnp.asarray(eeg), "fmri": jnp.asarray(fmri)}
+    targets = np.argmax(np.asarray(apply_fn(inputs)), axis=-1)
+    targets_t = torch.tensor(targets)
+    eeg_t, fmri_t = t(eeg), t(fmri)
+
+    # saliency (BridgeGradientSaliency.compute, :164-182)
+    e_r = eeg_t.clone().detach().requires_grad_(True)
+    f_r = fmri_t.clone().detach().requires_grad_(True)
+    logits, _, _, _ = tb(e_r, f_r)
+    tb.zero_grad()
+    _torch_one_hot_backward(logits, targets_t)
+    ref_sal = {"eeg": e_r.grad.abs().numpy(), "fmri": f_r.grad.abs().numpy()}
+
+    sal = gradient_saliency(apply_fn, inputs, jnp.asarray(targets))
+    for k in ("eeg", "fmri"):
+        np.testing.assert_allclose(np.asarray(sal[k]), ref_sal[k],
+                                   rtol=1e-3, atol=1e-4, err_msg=f"sal {k}")
+
+    # IG (BridgeIntegratedGradients.compute, :196-229 — BOTH modalities
+    # interpolated; the framework's default form)
+    grads = {"eeg": [], "fmri": []}
+    for alpha in np.linspace(0, 1, 50):
+        e_i = (alpha * eeg_t).detach().requires_grad_(True)
+        f_i = (alpha * fmri_t).detach().requires_grad_(True)
+        logits, _, _, _ = tb(e_i, f_i)
+        tb.zero_grad()
+        _torch_one_hot_backward(logits, targets_t)
+        grads["eeg"].append(e_i.grad.numpy())
+        grads["fmri"].append(f_i.grad.numpy())
+    ref_ig = {k: np.abs(x.numpy() * np.mean(grads[k], axis=0))
+              for k, x in (("eeg", eeg_t), ("fmri", fmri_t))}
+
+    ig = integrated_gradients(apply_fn, inputs, jnp.asarray(targets),
+                              n_steps=50)
+    for k in ("eeg", "fmri"):
+        np.testing.assert_allclose(np.asarray(ig[k]), ref_ig[k],
+                                   rtol=1e-3, atol=1e-4, err_msg=f"ig {k}")
