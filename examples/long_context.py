@@ -14,9 +14,13 @@ T=8192 would need a 17 GB logits tensor and OOMs. This framework's ladder:
 3. **Tensor parallelism** (parallel/tensor.py): at wider d_model, attention
    heads + FFN hidden shard over a `model` axis via GSPMD annotations.
 
-This example runs (2) against full attention for equality, then shows (3)'s
-sharding on the same mesh. CPU-friendly shapes; the mechanisms are
-shape-agnostic. `python examples/long_context.py`
+This example runs (2) against full attention for equality, shows (3)'s
+sharding on the same mesh, then TRAINS the config-reachable long-context
+model end-to-end: ``LongContextClassifier(attn_impl="ring", mesh=...)``
+under the standard compiled ``make_fit_fn`` with the time axis sharded
+over all 8 devices (T=2048 here; tests push it to 4096). CPU-friendly
+shapes; the mechanisms are shape-agnostic.
+`python examples/long_context.py`
 """
 
 import os
@@ -83,6 +87,38 @@ def main():
     example = next(v for p, v in traverse_util.flatten_dict(tp).items()
                    if "ffn1" in p and p[-1] == "kernel")
     print("  e.g. ffn1 kernel sharding:", example.sharding.spec)
+
+    # --- trainable long-context: ring attention inside the compiled fit ---
+    from jax.sharding import NamedSharding
+    from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+    from multimodal_eeg_fmri_tpu.models import LongContextClassifier
+    from multimodal_eeg_fmri_tpu.train.fit import make_fit_fn
+
+    T_long, C = 2048, 4
+    rr = np.random.default_rng(1)
+    y = (np.arange(8) % 2).astype(np.int64)
+    x = rr.standard_normal((8, T_long, C)).astype(np.float32)
+    x += 0.4 * (y * 2 - 1)[:, None, None] * np.sin(
+        np.linspace(0, 6 * np.pi, T_long))[None, :, None]
+    data = {"erp": x, "label": y, "weight": np.ones(8, np.float32)}
+
+    cfg = TrainConfig(batch_size=4, num_epochs=3, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    lc = LongContextClassifier(hidden_dim=32, num_layers=1, num_heads=4,
+                               dropout=0.0, patch=4, attn_impl="ring",
+                               mesh=mesh, seq_axis="data")
+    fit = jax.jit(make_fit_fn(lc, cfg, eval_names=()))
+    from jax.sharding import PartitionSpec as P2
+    dev = {k2: jax.device_put(
+        jnp.asarray(v2), NamedSharding(
+            mesh, P2(None, "data", None) if np.ndim(v2) == 3 else P2()))
+        for k2, v2 in data.items()}
+    res = fit(jax.random.key(0), dev, {}, None)
+    losses = np.asarray(res.history["train_loss"]).ravel()
+    print(f"long-context training: T={T_long} sharded over 8 devices, "
+          f"3-epoch loss {np.round(losses, 4)}")
+    assert losses[-1] < losses[0]
 
 
 if __name__ == "__main__":

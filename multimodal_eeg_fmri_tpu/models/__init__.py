@@ -15,6 +15,7 @@ from multimodal_eeg_fmri_tpu.models.fmri import (
     FMRIFusionNet,
 )
 from multimodal_eeg_fmri_tpu.models.bridge import BridgeFusionNet
+from multimodal_eeg_fmri_tpu.models.long_context import LongContextClassifier
 from multimodal_eeg_fmri_tpu.models.multimodal import MultimodalEndToEnd
 
 MODEL_REGISTRY = {
@@ -29,6 +30,7 @@ MODEL_REGISTRY = {
     "fmri_connectivity_only": FMRIConnectivityOnly,
     "bridge": BridgeFusionNet,
     "multimodal_e2e": MultimodalEndToEnd,
+    "long_context": LongContextClassifier,
 }
 
 __all__ = [
@@ -44,5 +46,6 @@ __all__ = [
     "FMRIConnectivityOnly",
     "BridgeFusionNet",
     "MultimodalEndToEnd",
+    "LongContextClassifier",
     "MODEL_REGISTRY",
 ]

@@ -1,0 +1,123 @@
+"""End-to-end training with the sequence-parallel long-context path.
+
+Closes the round-2 gap "ring/pipeline are library-only": the ring-attention
+primitive is now config-reachable (``LongContextClassifier(attn_impl='ring',
+mesh=...)`` / ``TransformerBlock(attn_impl='ring')``) and must TRAIN under
+the standard compiled ``make_fit_fn`` with the time axis sharded over the
+8-virtual-device mesh — with a loss history matching the identical model
+trained single-device.
+
+No reference analogue (the reference truncates sequences at 5000 and runs
+quadratic attention — SURVEY §5 long-context); this is the framework's own
+headroom surface.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+from multimodal_eeg_fmri_tpu.models import LongContextClassifier
+from multimodal_eeg_fmri_tpu.train.fit import make_fit_fn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _long_data(n, T, C, seed=0):
+    """Separable long-sequence task: class-dependent low-frequency drift."""
+    r = np.random.default_rng(seed)
+    y = (np.arange(n) % 2).astype(np.int64)
+    x = r.standard_normal((n, T, C)).astype(np.float32)
+    drift = np.sin(np.linspace(0, 6 * np.pi, T))[None, :, None]
+    x += 0.4 * (y * 2 - 1)[:, None, None] * drift
+    return {"erp": x, "label": y,
+            "weight": np.ones((n,), np.float32)}
+
+
+def _fit(model, cfg, data, rng, in_shardings=None):
+    fit = jax.jit(make_fit_fn(model, cfg, eval_names=()))
+    dev = jax.tree_util.tree_map(jnp.asarray, data)
+    if in_shardings is not None:
+        dev = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, in_shardings(x)), dev)
+    return fit(rng, dev, {}, None)
+
+
+def test_ring_training_matches_single_device():
+    """The SAME config trains with attn_impl='ring' on a seq=8 mesh and
+    attn_impl='einsum' on one device; loss histories must agree (the ring's
+    online-softmax accumulation is the flash/einsum math, distributed)."""
+    T, C, B = 256, 4, 4
+    data = _long_data(8, T, C)
+    cfg = TrainConfig(batch_size=B, num_epochs=3, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("seq",))
+    kw = dict(hidden_dim=32, num_layers=1, num_heads=4, dropout=0.0,
+              patch=2)
+    rng = jax.random.key(0)
+
+    res_ring = _fit(
+        LongContextClassifier(attn_impl="ring", mesh=mesh, **kw), cfg, data,
+        rng,
+        in_shardings=lambda x: NamedSharding(
+            mesh, P(None, "seq", None) if x.ndim == 3 else P()),
+    )
+    res_one = _fit(LongContextClassifier(attn_impl="einsum", **kw), cfg,
+                   data, rng)
+    a = np.asarray(res_ring.history["train_loss"])
+    b = np.asarray(res_one.history["train_loss"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert a[-1] < a[0]  # actually learns
+
+
+def test_ring_training_composes_with_head_sharding():
+    """seq × model mesh: time over 4 devices, heads over 2 — sequence AND
+    tensor parallelism in one trainable model."""
+    T, C, B = 128, 4, 4
+    data = _long_data(8, T, C)
+    cfg = TrainConfig(batch_size=B, num_epochs=2, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("seq", "model"))
+    kw = dict(hidden_dim=32, num_layers=1, num_heads=4, dropout=0.0)
+
+    res = _fit(
+        LongContextClassifier(attn_impl="ring", mesh=mesh,
+                              head_axis="model", **kw), cfg, data,
+        jax.random.key(1),
+        in_shardings=lambda x: NamedSharding(
+            mesh, P(None, "seq", None) if x.ndim == 3 else P()),
+    )
+    res_one = _fit(LongContextClassifier(attn_impl="einsum", **kw), cfg,
+                   data, jax.random.key(1))
+    np.testing.assert_allclose(np.asarray(res.history["train_loss"]),
+                               np.asarray(res_one.history["train_loss"]),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_ring_trains_at_4k_context():
+    """T = 4096 on the virtual mesh — einsum would materialize a
+    (B,H,4096²) score tensor; the ring holds (T/8)² per device. One epoch,
+    finite decreasing loss."""
+    T, C, B = 4096, 4, 2
+    data = _long_data(4, T, C, seed=1)
+    cfg = TrainConfig(batch_size=B, num_epochs=2, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("seq",))
+    res = _fit(
+        LongContextClassifier(attn_impl="ring", mesh=mesh, hidden_dim=32,
+                              num_layers=1, num_heads=4, dropout=0.0,
+                              patch=8), cfg, data, jax.random.key(2),
+        in_shardings=lambda x: NamedSharding(
+            mesh, P(None, "seq", None) if x.ndim == 3 else P()),
+    )
+    losses = np.asarray(res.history["train_loss"]).ravel()
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
