@@ -36,3 +36,36 @@ report     metrics, statistical tests, exports
 """
 
 __version__ = "0.1.0"
+
+
+def _pin_gspmd_partitioner() -> None:
+    """Correctness pin: force the GSPMD partitioner over Shardy.
+
+    jax 0.9.0's default Shardy partitioner MISCOMPILES
+    ``jit(vmap(conv → conv))`` when the vmapped batch inputs are sharded
+    over a mesh axis: results are silently wrong by O(1) — not noise
+    (measured max|Δ| 6.36 on a two-conv stack vs 0.0 under GSPMD; CPU
+    backend, 8 virtual devices; minimal repro in
+    ``tests/test_partitioner_regression.py``). Every conv-encoder model in
+    this framework hits that pattern on the fold-vmapped mesh path
+    (``run_cv(mesh_plan=...)``), so the buggy default would corrupt sharded
+    training silently. Found by ``__graft_entry__.dryrun_multichip``'s
+    sharded==unsharded equality check.
+
+    Set ``MMEF_KEEP_SHARDY=1`` to opt out (e.g. to re-test a fixed jax;
+    the regression test re-runs the comparison either way).
+    """
+    import os
+
+    if os.environ.get("MMEF_KEEP_SHARDY"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_use_shardy_partitioner:
+            jax.config.update("jax_use_shardy_partitioner", False)
+    except Exception:
+        pass  # ancient/newer jax without the flag: nothing to pin
+
+
+_pin_gspmd_partitioner()

@@ -115,3 +115,46 @@ def shard_ensemble_tree(plan: MeshPlan, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, ensemble_sharding(plan, np.ndim(x))), tree
     )
+
+
+def ensemble_vmap(fn, plan: MeshPlan, in_axes=0):
+    """Fold-parallel execution as MANUAL SPMD: ``vmap(fn)`` inside a
+    ``shard_map`` over the ensemble axis.
+
+    Every argument and result leaf must carry a leading fold axis divisible
+    by ``plan.n_ensemble``. Each ensemble group runs its local folds'
+    programs entirely locally — zero collectives, zero partitioner
+    choices — so the sharded result equals the plain ``jit(vmap(fn))``
+    run per fold (to ≤1-ulp compile-tiling reassociation).
+
+    Why not GSPMD auto-partitioning of the vmapped fold axis: jax 0.9.0's
+    XLA SPMD partitioner (BOTH Shardy and GSPMD propagation)
+    **miscompiles** vmapped stacked-conv models whose operands are sharded
+    along the vmap axis — every fold's output collapses to one value that
+    is correct for NO fold (measured max|Δ| ≈ 2-6 on O(1) activations; see
+    docs/DESIGN.md "Partitioner pin" and
+    tests/test_partitioner_regression.py). shard_map sidesteps the
+    partitioner entirely and is the idiomatic form for an embarrassingly
+    parallel axis anyway. Leaves the ``data`` axis unmentioned — inputs
+    replicate across it (fold compute is duplicated per data-group; use
+    ``data=1`` meshes for pure fold sweeps).
+
+    ``in_axes`` follows ``jax.vmap``: args whose entry is ``None`` are
+    SHARED across folds (replicated into every group); anything else maps
+    fold axis 0 (and is sharded over ``ensemble``).
+    """
+    vfn = jax.vmap(fn, in_axes=in_axes)
+
+    def call(*args):
+        axes = (tuple(in_axes) if isinstance(in_axes, (tuple, list))
+                else (in_axes,) * len(args))
+        spec = tuple(
+            jax.tree_util.tree_map(
+                lambda _: P() if ax is None else P(ENSEMBLE_AXIS), a)
+            for a, ax in zip(args, axes))
+        return jax.shard_map(
+            vfn, mesh=plan.mesh, in_specs=spec,
+            out_specs=P(ENSEMBLE_AXIS), check_vma=False,
+        )(*args)
+
+    return call

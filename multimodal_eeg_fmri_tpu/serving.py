@@ -18,6 +18,7 @@ deployment this module packages a trained model as a compiled predictor:
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -113,9 +114,14 @@ class Predictor:
         fn = jax.jit(lambda inputs: self._forward(self._variables, inputs))
         try:
             exp = jax_export.export(fn, platforms=list(platforms))(spec)
-        except Exception:
-            # fall back to the current platform only (older jax / exotic
-            # backends that reject multi-platform lowering)
+        except (ValueError, NotImplementedError) as e:
+            # older jax / exotic backends reject multi-platform lowering;
+            # warn loudly — the artifact will only load where it was built
+            single = jax.default_backend()
+            logging.getLogger(__name__).warning(
+                "multi-platform export for %s failed (%s); artifact is "
+                "lowered for %r ONLY and will not load on other platforms",
+                platforms, e, single)
             exp = jax_export.export(fn)(spec)
         blob = exp.serialize()
         Path(path).write_bytes(blob)
@@ -235,11 +241,24 @@ class EnsemblePredictor:
             out = model.apply(variables, **inputs, train=False)
             return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
 
+        if plan is not None:
+            # member axis as manual SPMD: each ensemble group serves its
+            # local members locally (auto-partitioning a vmapped axis
+            # whose params are sharded along it is unsafe on current XLA —
+            # parallel/mesh.ensemble_vmap docstring / DESIGN.md
+            # "Partitioner pin"); only the final probability mean crosses
+            # groups, as a plain reduction of a sharded array.
+            from multimodal_eeg_fmri_tpu.parallel.mesh import ensemble_vmap
+
+            _members = ensemble_vmap(_member_forward, plan,
+                                     in_axes=(0, None))
+        else:
+            _members = jax.vmap(_member_forward, in_axes=(0, None))
+
         def _forward(variables, inputs):
             if preprocess is not None:
                 inputs = {**inputs, **preprocess(inputs)}
-            probs = jax.vmap(_member_forward, in_axes=(0, None))(
-                variables, inputs)
+            probs = _members(variables, inputs)
             if reduce == "mean_probs":
                 return probs.mean(axis=0)
             return probs

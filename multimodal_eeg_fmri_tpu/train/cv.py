@@ -171,9 +171,18 @@ def run_cv(
 
     if rng is None:
         rng = jax.random.key(cfg.seed)
-    fold_rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
-        jnp.arange(n_total)
-    )
+    if jnp.ndim(rng) >= 1:
+        # precomputed per-fold keys (shape (n_folds,)) — used when a caller
+        # needs a specific fold of a larger sweep to replay with the exact
+        # key the full sweep would use (e.g. the padding-bias comparison)
+        if rng.shape[0] != n_total:
+            raise ValueError(
+                f"per-fold rng has {rng.shape[0]} keys, need {n_total}")
+        fold_rngs = rng
+    else:
+        fold_rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(n_total)
+        )
 
     dev = jax.tree_util.tree_map(jnp.asarray, (train_stack, eval_stacks, cw))
     train_dev, evals_dev, cw_dev = dev
@@ -191,13 +200,27 @@ def run_cv(
     # aliases donated inputs into same-shaped outputs, and no FitResult leaf
     # matches the data shapes. The carry→carry resume path (train/resilient)
     # is where donation aliases 100% — see docs/DESIGN.md.
-    vfit = jax.jit(jax.vmap(fit_fn))
+    if mesh_plan is not None:
+        # fold axis as MANUAL SPMD (shard_map) — each ensemble group trains
+        # its local folds with zero partitioner involvement, bit-identical
+        # to the unsharded vmap. GSPMD auto-partitioning of the vmapped
+        # fold axis is NOT safe on current XLA (silent miscompilation of
+        # sharded vmapped conv stacks — parallel/mesh.ensemble_vmap).
+        from multimodal_eeg_fmri_tpu.parallel.mesh import ensemble_vmap
+
+        vfit = jax.jit(ensemble_vmap(fit_fn, mesh_plan))
+    else:
+        vfit = jax.jit(jax.vmap(fit_fn))
     if aot_dir is not None:
         from multimodal_eeg_fmri_tpu.core.aot import bundle_or_jit
 
+        mesh_tag = ("none" if mesh_plan is None else
+                    f"{getattr(mesh_plan, 'n_ensemble', '?')}x"
+                    f"{getattr(mesh_plan, 'n_data', '?')}")
         tag = (f"run_cv::{model!r}::{cfg!r}::task={task}"
                f"::evals={tuple(eval_stacks.keys())}"
                f"::epochs={num_epochs}"
+               f"::mesh={mesh_tag}"
                f"::aug={getattr(augment, '_aot_tag', repr(augment))}")
         vfit = bundle_or_jit(
             vfit, (fold_rngs, train_dev, evals_dev, cw_dev), aot_dir, tag)

@@ -204,8 +204,18 @@ def run_hpo(
                 shard = lambda x: jax.device_put(
                     x, ensemble_sharding(mesh_plan, np.ndim(x)))
                 lrs, wds, rngs = shard(lrs), shard(wds), shard(rngs)
-            vfit = jax.jit(jax.vmap(
-                fit_fn, in_axes=(0, None, None, None, {"lr": 0, "wd": 0})))
+            trial_axes = (0, None, None, None, {"lr": 0, "wd": 0})
+            if mesh_plan is not None:
+                # trial axis as manual SPMD — auto-partitioning a vmapped
+                # axis is unsafe (parallel/mesh.ensemble_vmap docstring)
+                from multimodal_eeg_fmri_tpu.parallel.mesh import (
+                    ensemble_vmap,
+                )
+
+                vfit = jax.jit(ensemble_vmap(fit_fn, mesh_plan,
+                                             in_axes=trial_axes))
+            else:
+                vfit = jax.jit(jax.vmap(fit_fn, in_axes=trial_axes))
             res = vfit(rngs, train_dev, {"val": val_dev}, cw,
                        {"lr": lrs, "wd": wds})
             # best val metric over epochs per trial (MedianPruner analogue:
