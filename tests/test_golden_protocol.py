@@ -1,0 +1,324 @@
+"""Golden protocol replay — end-to-end quality parity vs the reference.
+
+The reference's parity targets are 5-fold SGKF metric DISTRIBUTIONS over the
+4-model EEG comparison (``CrossModal_EEG_scr.ipynb §30/§44``; BASELINE.md).
+The real dataset is absent in this environment, so this is the available
+proxy, run in full: the COMPLETE protocol — 4 models × 5-fold
+StratifiedGroupKFold with identical sklearn splits, identical per-fold scalar
+normalization, identical balanced class weights, identical hyperparameters
+(AdamW, weighted CE, grad-clip 1.0, best-val-F1 selection) — executed in BOTH
+frameworks on one frozen synthetic dataset:
+
+- torch side: architecture replicas of the reference models (the same specs
+  as ``tests/test_torch_parity_fullnet.py``'s weight-mapped replicas), each
+  trained with torch's own init/shuffling — exactly how the reference runs;
+- framework side: ``eeg_kfold_splits`` + ``run_model_suite`` (the same code
+  path ``pipelines.run_eeg_experiment`` drives).
+
+The per-model metric means must agree within a stated tolerance. Dropout is
+0 on both sides (cross-framework dropout RNG cannot be aligned; every other
+protocol element — splits, normalization, class weights, optimizer, loss,
+selection — is identical). Measured deltas are recorded in docs/DESIGN.md
+("Golden protocol replay").
+
+Run ``python tests/test_golden_protocol.py`` to print the comparison table.
+"""
+
+if __name__ == "__main__":  # standalone: repo root on path, CPU backend
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+import jax
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+from torch import nn  # noqa: E402
+
+from sklearn.metrics import accuracy_score, f1_score, roc_auc_score  # noqa: E402
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig  # noqa: E402
+from multimodal_eeg_fmri_tpu.data.arrays import balanced_class_weights  # noqa: E402
+from multimodal_eeg_fmri_tpu.data.normalize import FoldNormalizer  # noqa: E402
+from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_eeg_trimodal  # noqa: E402
+from multimodal_eeg_fmri_tpu.train.cv import eeg_kfold_splits, run_model_suite  # noqa: E402
+
+from test_torch_parity_fullnet import (  # noqa: E402
+    TorchERPEncoder,
+    TorchLearnedFusion,
+    TorchPowerEncoder,
+    TorchTriModalV4,
+)
+
+# protocol constants (identical on both sides)
+HIDDEN, LAYERS, HEADS = 24, 1, 2
+CE, CP, FC, T = 18, 75, 459, 32
+N_SUBJECTS, N_SPLITS, EPOCHS, BSZ = 56, 5, 15, 8
+LR, WD, SEED = 2e-4, 1e-4, 42
+MODALITIES = ("erp", "pw", "conn")
+
+
+# ---------------------------------------------------------------------------
+# torch replicas of the remaining reference architectures (own init — the
+# replay compares protocols/distributions, not weights)
+# ---------------------------------------------------------------------------
+
+class TorchBiDirCross(nn.Module):
+    """``BiDirectionalCrossAttention`` spec
+    (``crossmodal_v4_enhancements.py:401-469``)."""
+
+    def __init__(self, d, heads):
+        super().__init__()
+        self.e2p = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.p2e = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.eg = nn.Linear(2 * d, d)
+        self.pg = nn.Linear(2 * d, d)
+        self.ne = nn.LayerNorm(d)
+        self.np_ = nn.LayerNorm(d)
+
+    def forward(self, e, p):
+        comb = torch.stack([e, p], 1)
+        ea, _ = self.e2p(e.unsqueeze(1), comb, comb)
+        pa, _ = self.p2e(p.unsqueeze(1), comb, comb)
+        ea, pa = ea.squeeze(1), pa.squeeze(1)
+        eg = torch.sigmoid(self.eg(torch.cat([e, ea], 1)))
+        pg = torch.sigmoid(self.pg(torch.cat([p, pa], 1)))
+        return self.ne(e + eg * ea), self.np_(p + pg * pa)
+
+
+class TorchBiModalV4(nn.Module):
+    """``EnhancedSmartFusionNetV4`` spec
+    (``crossmodal_v4_enhancements.py:476-570``)."""
+
+    def __init__(self, ce, cp, hidden, layers, heads, classes=2):
+        super().__init__()
+        self.erp = TorchERPEncoder(ce, hidden, layers, heads)
+        self.pw = TorchPowerEncoder(cp, hidden, layers, heads)
+        self.cross = TorchBiDirCross(hidden, heads)
+        self.fusion = TorchLearnedFusion(2, hidden)
+        self.h1 = nn.Linear(hidden, hidden)
+        self.hb1 = nn.BatchNorm1d(hidden)
+        self.h2 = nn.Linear(hidden, hidden // 2)
+        self.hb2 = nn.BatchNorm1d(hidden // 2)
+        self.out = nn.Linear(hidden // 2, classes)
+
+    def forward(self, erp, pw, conn=None):
+        e, p = self.erp(erp), self.pw(pw)
+        e, p = self.cross(e, p)
+        fused, _ = self.fusion([e, p])
+        x = F.gelu(self.hb1(self.h1(fused)))
+        x = F.gelu(self.hb2(self.h2(x)))
+        return self.out(x)
+
+
+class TorchV3ConvEncoder(nn.Module):
+    """V3 conv baseline encoder spec (``CrossModal_EEG_scr.ipynb §8,12``):
+    conv→BN→GELU→pool ×2 → conv→BN→GELU → time-mean."""
+
+    def __init__(self, cin, hidden, kernels):
+        super().__init__()
+        k1, k2, k3 = kernels
+        self.c1 = nn.Conv1d(cin, 64, k1, padding=k1 // 2)
+        self.b1 = nn.BatchNorm1d(64)
+        self.c2 = nn.Conv1d(64, 128, k2, padding=k2 // 2)
+        self.b2 = nn.BatchNorm1d(128)
+        self.c3 = nn.Conv1d(128, hidden, k3, padding=k3 // 2)
+        self.b3 = nn.BatchNorm1d(hidden)
+
+    def forward(self, x):  # (B, C, T)
+        x = F.max_pool1d(F.gelu(self.b1(self.c1(x))), 2)
+        x = F.max_pool1d(F.gelu(self.b2(self.c2(x))), 2)
+        x = F.gelu(self.b3(self.c3(x)))
+        return x.mean(-1)
+
+
+class TorchV3OnlyNet(nn.Module):
+    """V3 unimodal baseline: conv encoder + small head
+    (``CrossModal_EEG_scr.ipynb §9,13``). ``use_key`` picks the modality."""
+
+    def __init__(self, cin, hidden, kernels, use_key, classes=2):
+        super().__init__()
+        self.use_key = use_key
+        self.enc = TorchV3ConvEncoder(cin, hidden, kernels)
+        self.h = nn.Linear(hidden, hidden // 2)
+        self.hb = nn.BatchNorm1d(hidden // 2)
+        self.out = nn.Linear(hidden // 2, classes)
+
+    def forward(self, erp, pw, conn=None):
+        x = {"erp": erp, "pw": pw}[self.use_key]
+        return self.out(F.gelu(self.hb(self.h(self.enc(x)))))
+
+
+def torch_model_factories():
+    h = HIDDEN // 2  # unimodal nets use hidden_dim // 2, like the pipeline
+    return {
+        "trimodal": lambda: TorchTriModalV4(CE, CP, FC, HIDDEN, LAYERS, HEADS),
+        "fusion": lambda: TorchBiModalV4(CE, CP, HIDDEN, LAYERS, HEADS),
+        "pwonly": lambda: TorchV3OnlyNet(CP, h, (5, 3, 3), "pw"),
+        "erponly": lambda: TorchV3OnlyNet(CE, h, (7, 5, 3), "erp"),
+    }
+
+
+def framework_models():
+    from multimodal_eeg_fmri_tpu.models import (
+        ERPOnlyNet,
+        PWOnlyNet,
+        SmartFusionNetV4,
+        TriModalFusionNetV4,
+    )
+
+    return {
+        "trimodal": TriModalFusionNetV4(
+            hidden_dim=HIDDEN, dropout=0.0, num_transformer_layers=LAYERS,
+            num_heads=HEADS),
+        "fusion": SmartFusionNetV4(
+            hidden_dim=HIDDEN, dropout=0.0, num_transformer_layers=LAYERS,
+            num_heads=HEADS),
+        "pwonly": PWOnlyNet(hidden_dim=HIDDEN // 2, dropout=0.0),
+        "erponly": ERPOnlyNet(hidden_dim=HIDDEN // 2, dropout=0.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# the two protocol runners
+# ---------------------------------------------------------------------------
+
+def frozen_dataset():
+    return synthetic_eeg_trimodal(
+        n_subjects=N_SUBJECTS, erp_channels=CE, pw_channels=CP,
+        conn_features=FC, time_steps=T, separation=1.0, seed=123)
+
+
+def protocol_cfg():
+    return TrainConfig(batch_size=BSZ, num_epochs=EPOCHS, learning_rate=LR,
+                       weight_decay=WD, schedule="constant", selection="val",
+                       patience=100, seed=SEED)
+
+
+def run_framework_protocol(data, cfg, splits):
+    results = run_model_suite(framework_models(), cfg, data, splits,
+                              normalize_keys=MODALITIES)
+    return {name: {m: r.summary[m] for m in ("accuracy", "f1", "auc")}
+            for name, r in results.items()}
+
+
+def _torch_metrics(model, erp, pw, conn, y):
+    model.eval()
+    with torch.no_grad():
+        logits = model(erp, pw, conn)
+        logits = logits[0] if isinstance(logits, tuple) else logits
+        probs = F.softmax(logits, dim=1).numpy()
+    pred = probs.argmax(1)
+    try:
+        auc = roc_auc_score(y, probs[:, 1])
+    except ValueError:
+        auc = 0.5
+    return {"accuracy": accuracy_score(y, pred),
+            "f1": f1_score(y, pred, zero_division=0), "auc": auc}
+
+
+def run_torch_protocol(data, cfg, splits):
+    """The reference protocol loop (``CrossModal_EEG_scr.ipynb §30``
+    semantics with the leakage-free val split): per fold — fit scalar
+    normalizer on train subjects only, balanced class weights, AdamW +
+    weighted CE + grad-clip, best-val-F1 state, final test metrics."""
+    out = {}
+    for name, make in torch_model_factories().items():
+        fold_metrics = {m: [] for m in ("accuracy", "f1", "auc")}
+        for k, sp in enumerate(splits):
+            torch.manual_seed(cfg.seed * 1000 + k)
+            d = FoldNormalizer(MODALITIES).fit_transform(data, sp.train)
+            tens = {m: torch.tensor(
+                        d[m].transpose(0, 2, 1) if d[m].ndim == 3 else d[m])
+                    for m in MODALITIES}
+            y = d["label"].astype(np.int64)
+
+            model = make()
+            cw = torch.tensor(balanced_class_weights(y[sp.train], 2))
+            opt = torch.optim.AdamW(model.parameters(), lr=cfg.learning_rate,
+                                    weight_decay=cfg.weight_decay)
+            g = torch.Generator().manual_seed(cfg.seed + k)
+            best_f1, best_state = -1.0, None
+            n = len(sp.train)
+            steps = n // cfg.batch_size
+            for _ in range(cfg.num_epochs):
+                model.train()
+                perm = sp.train[torch.randperm(n, generator=g).numpy()]
+                for s in range(steps):
+                    idx = perm[s * cfg.batch_size:(s + 1) * cfg.batch_size]
+                    logits = model(tens["erp"][idx], tens["pw"][idx],
+                                   tens["conn"][idx])
+                    logits = logits[0] if isinstance(logits, tuple) else logits
+                    loss = F.cross_entropy(logits, torch.tensor(y[idx]),
+                                           weight=cw)
+                    opt.zero_grad()
+                    loss.backward()
+                    nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+                    opt.step()
+                vm = _torch_metrics(model, tens["erp"][sp.val],
+                                    tens["pw"][sp.val], tens["conn"][sp.val],
+                                    y[sp.val])
+                if vm["f1"] > best_f1:
+                    best_f1 = vm["f1"]
+                    best_state = {k2: v.clone()
+                                  for k2, v in model.state_dict().items()}
+            model.load_state_dict(best_state)
+            tm = _torch_metrics(model, tens["erp"][sp.test],
+                                tens["pw"][sp.test], tens["conn"][sp.test],
+                                y[sp.test])
+            for m in fold_metrics:
+                fold_metrics[m].append(tm[m])
+        out[name] = {m: (float(np.mean(v)), float(np.std(v)))
+                     for m, v in fold_metrics.items()}
+    return out
+
+
+def run_golden_replay():
+    data = frozen_dataset()
+    cfg = protocol_cfg()
+    splits = eeg_kfold_splits(data, cfg, n_splits=N_SPLITS)
+    fw = run_framework_protocol(data, cfg, splits)
+    th = run_torch_protocol(data, cfg, splits)
+    return fw, th
+
+
+# mean-agreement tolerance per metric: 5 folds of ~11 test subjects — one
+# flipped subject moves a fold metric by ~0.09, so two net subject-flips
+# across the protocol shift a mean by ~0.036. Measured deltas (DESIGN.md
+# "Golden protocol replay") are well inside this.
+TOL_MEAN = 0.15
+
+
+@pytest.mark.slow
+def test_golden_protocol_replay():
+    fw, th = run_golden_replay()
+    msgs = []
+    for name in fw:
+        for m in ("accuracy", "f1", "auc"):
+            d = abs(fw[name][m][0] - th[name][m][0])
+            msgs.append(f"{name}/{m}: fw {fw[name][m][0]:.4f} "
+                        f"torch {th[name][m][0]:.4f} |Δ| {d:.4f}")
+            assert d <= TOL_MEAN, "\n".join(msgs)
+    # both frameworks must actually learn the separable task with the
+    # multimodal models (guards against agreeing-at-chance trivially)
+    assert fw["trimodal"]["f1"][0] > 0.6, fw["trimodal"]
+    assert th["trimodal"]["f1"][0] > 0.6, th["trimodal"]
+
+
+if __name__ == "__main__":
+    fw, th = run_golden_replay()
+    print(f"\n{'model':<10}{'metric':<10}{'framework':<18}{'torch':<18}|Δmean|")
+    for name in fw:
+        for m in ("accuracy", "f1", "auc"):
+            fm, fs = fw[name][m]
+            tm_, ts = th[name][m]
+            print(f"{name:<10}{m:<10}{fm:.4f}±{fs:.4f}    "
+                  f"{tm_:.4f}±{ts:.4f}    {abs(fm - tm_):.4f}")

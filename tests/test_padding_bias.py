@@ -1,0 +1,81 @@
+"""Quantify the ``pad_rows`` residual bias (docs/DESIGN.md "Padding bias").
+
+``data/arrays.py:pad_rows`` documents two residual effects of static-shape
+fold padding vs the reference's unpadded folds: pad rows contribute to BN
+*batch* statistics, and a padded epoch runs ``target // batch_size``
+optimizer steps instead of ``n // batch_size``. This test BOUNDS the metric
+effect on a ragged LOSO sweep (the worst realistic case: fold sizes differ,
+so the vmapped path pads every fold to the largest):
+
+- padded path: one fold-vmapped ``run_cv`` over all LOSO folds (production);
+- unpadded path: ``run_cv`` per single fold — with one fold there is no
+  cross-fold padding, so batching/steps equal the reference semantics.
+
+Same model/config/rng per fold; the per-fold test-F1 deltas are asserted
+small in aggregate.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_eeg_trimodal
+from multimodal_eeg_fmri_tpu.models import TriModalFusionNetV4Lite
+from multimodal_eeg_fmri_tpu.train.cv import loso_splits, run_cv
+
+
+def _ragged_subject_data(n_subjects=10, seed=3):
+    """Subject-level rows replicated a variable number of times (2..5) so
+    LOSO folds are ragged — per-subject EEG sample counts vary in the real
+    dataset the same way (SURVEY: 63-66 subjects, variable epochs)."""
+    r = np.random.default_rng(seed)
+    base = synthetic_eeg_trimodal(n_subjects=n_subjects, time_steps=16,
+                                  erp_channels=6, pw_channels=8,
+                                  conn_features=24, separation=1.5,
+                                  seed=seed)
+    reps = r.integers(2, 6, n_subjects)
+    idx = np.concatenate([np.full(k, i) for i, k in enumerate(reps)])
+    out = {k: np.asarray(v)[idx].copy() for k, v in base.items()}
+    # jitter replicated samples so they are not identical rows
+    for k in ("erp", "pw", "conn"):
+        out[k] += 0.05 * r.standard_normal(out[k].shape).astype(np.float32)
+    return out
+
+
+@pytest.mark.slow
+def test_padding_bias_bounded_on_ragged_loso():
+    data = _ragged_subject_data()
+    cfg = TrainConfig(batch_size=4, num_epochs=6, learning_rate=2e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100, seed=0)
+    model = TriModalFusionNetV4Lite(hidden_dim=24, dropout=0.0)
+    splits = loso_splits(data, cfg)
+    sizes = {len(s.train) for s in splits}
+    assert len(sizes) > 1, "sweep must actually be ragged"
+
+    padded = run_cv(model, cfg, data, splits,
+                    normalize_keys=("erp", "pw", "conn"))
+    # per-fold unpadded runs with the SAME per-fold key the padded sweep
+    # used — isolates the padding effect from init/shuffle randomness
+    root = jax.random.key(cfg.seed)
+    fold_keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
+        np.arange(len(splits)))
+    unpadded_f1 = []
+    for i, sp in enumerate(splits):
+        r1 = run_cv(model, cfg, data, [sp],
+                    normalize_keys=("erp", "pw", "conn"),
+                    rng=fold_keys[i:i + 1])
+        unpadded_f1.append(float(r1.fold_metrics["f1"][0]))
+    padded_f1 = np.asarray(padded.fold_metrics["f1"])
+    unpadded_f1 = np.asarray(unpadded_f1)
+
+    delta_mean = abs(padded_f1.mean() - unpadded_f1.mean())
+    delta_max = np.abs(padded_f1 - unpadded_f1).max()
+    print(f"padding bias: mean|ΔF1|={delta_mean:.4f} "
+          f"max per-fold |ΔF1|={delta_max:.4f} "
+          f"(padded {padded_f1.mean():.4f}, unpadded {unpadded_f1.mean():.4f})")
+    # aggregate effect must be small; individual ragged LOSO folds have 2-5
+    # test samples so a single flipped sample moves a fold F1 by ~0.2-0.5
+    assert delta_mean < 0.05, (padded_f1, unpadded_f1)
