@@ -15,7 +15,10 @@ from multimodal_eeg_fmri_tpu.models.fmri import (
     FMRIFusionNet,
 )
 from multimodal_eeg_fmri_tpu.models.bridge import BridgeFusionNet
-from multimodal_eeg_fmri_tpu.models.long_context import LongContextClassifier
+from multimodal_eeg_fmri_tpu.models.long_context import (
+    LongContextClassifier,
+    PipelinedLongContextClassifier,
+)
 from multimodal_eeg_fmri_tpu.models.multimodal import MultimodalEndToEnd
 
 MODEL_REGISTRY = {
@@ -47,5 +50,6 @@ __all__ = [
     "BridgeFusionNet",
     "MultimodalEndToEnd",
     "LongContextClassifier",
+    "PipelinedLongContextClassifier",
     "MODEL_REGISTRY",
 ]

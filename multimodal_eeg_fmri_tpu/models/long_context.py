@@ -84,3 +84,107 @@ class LongContextClassifier(nn.Module):
             norm="layer", name="classifier",
         )(feat, train=train)
         return ModelOutput(logits, feat, None, None)
+
+
+class PipelinedLongContextClassifier:
+    """Long-context classifier with the transformer DEPTH pipelined over a
+    ``stage`` mesh axis (``parallel/pipeline.pipeline_apply`` — GPipe as
+    one shard_map'd scan; microbatches hop stages by ppermute).
+
+    This is the config-reachable surface for pipeline parallelism: the
+    stage params live stacked on a leading layer axis sharded over the
+    mesh, and the same object with ``mesh=None`` applies the stack
+    sequentially — the parity test trains both and requires equal loss
+    histories. Duck-typed (``init``/``apply`` like a flax module, fixed
+    ``ModelOutput`` return) so it drops into ``train.fit.make_fit_fn``
+    unchanged. Dropout-free by construction (stages run under shard_map
+    where flax rng plumbing does not reach; the reference's nets at this
+    depth regularize via weight decay).
+
+    No reference analogue (SURVEY §2.3: the reference has no parallelism);
+    this composes the framework's own headroom primitives into a trainable
+    model.
+    """
+
+    def __init__(self, hidden_dim: int = 64, num_classes: int = 2,
+                 num_layers: Optional[int] = None, num_heads: int = 4,
+                 patch: int = 1, mesh: Optional[jax.sharding.Mesh] = None,
+                 stage_axis: str = "stage", n_micro: Optional[int] = None):
+        if mesh is not None:
+            n_stages = mesh.shape[stage_axis]
+            if num_layers is None:
+                num_layers = n_stages
+            if num_layers != n_stages:
+                raise ValueError(
+                    f"num_layers={num_layers} must equal the mesh's "
+                    f"{stage_axis} axis ({n_stages}) — homogeneous pipeline")
+        elif num_layers is None:
+            num_layers = 2
+        self.hidden_dim = hidden_dim
+        self.num_classes = num_classes
+        self.num_layers = num_layers
+        self.num_heads = num_heads
+        self.patch = patch
+        self.mesh = mesh
+        self.stage_axis = stage_axis
+        self.n_micro = n_micro
+        self._block = TransformerBlock(hidden_dim, num_heads, dropout=0.0)
+        self._embed = nn.Dense(hidden_dim)
+        self._head = ClassifierHead((hidden_dim // 2,), num_classes, 0.0,
+                                    norm="layer")
+        self._ln = nn.LayerNorm(epsilon=1e-5)
+
+    def _tokens(self, erp: jnp.ndarray) -> jnp.ndarray:
+        B, T, C = erp.shape
+        if T % self.patch:
+            raise ValueError(f"T={T} not divisible by patch={self.patch}")
+        return erp.reshape(B, T // self.patch, self.patch * C)
+
+    def init(self, rngs, *, erp, pw=None, conn=None, train: bool = False):
+        key = rngs["params"] if isinstance(rngs, dict) else rngs
+        k_embed, k_blocks, k_head, k_ln = jax.random.split(key, 4)
+        tok = self._tokens(erp)
+        embed_p = self._embed.init(k_embed, tok)["params"]
+        x = self._embed.apply({"params": embed_p}, tok)
+        x = x + sinusoidal_position_encoding(
+            x.shape[1], self.hidden_dim, x.dtype)[None]
+        block_keys = jax.random.split(k_blocks, self.num_layers)
+        blocks_p = jax.vmap(
+            lambda k: self._block.init(k, x, train=False)["params"]
+        )(block_keys)
+        ln_p = self._ln.init(k_ln, x)["params"]
+        pooled = jnp.mean(x, axis=1)
+        kp, kh = jax.random.split(k_head)
+        pool_p = nn.Dense(self.hidden_dim).init(kp, pooled)["params"]
+        head_p = self._head.init(kh, pooled, train=False)["params"]
+        return {"params": {"embed": embed_p, "blocks": blocks_p,
+                           "final_ln": ln_p, "pool_proj": pool_p,
+                           "head": head_p}}
+
+    def apply(self, variables, *, erp, pw=None, conn=None,
+              train: bool = False, rngs=None, mutable=None) -> ModelOutput:
+        p = variables["params"]
+        x = self._embed.apply({"params": p["embed"]}, self._tokens(erp))
+        x = x + sinusoidal_position_encoding(
+            x.shape[1], self.hidden_dim, x.dtype)[None]
+        block = lambda bp, h: self._block.apply({"params": bp}, h,
+                                                train=False)
+        if self.mesh is not None:
+            from multimodal_eeg_fmri_tpu.parallel.pipeline import (
+                pipeline_apply,
+            )
+
+            x = pipeline_apply(p["blocks"], x, block, self.mesh,
+                               axis=self.stage_axis, n_micro=self.n_micro)
+        else:
+            x = jax.lax.scan(
+                lambda h, bp: (block(bp, h), None), x, p["blocks"])[0]
+        x = self._ln.apply({"params": p["final_ln"]}, x)
+        pooled = jnp.mean(x, axis=1)
+        feat = gelu(nn.Dense(self.hidden_dim).apply(
+            {"params": p["pool_proj"]}, pooled))
+        logits = self._head.apply({"params": p["head"]}, feat, train=False)
+        out = ModelOutput(logits, feat, None, None)
+        if mutable:
+            return out, {}
+        return out

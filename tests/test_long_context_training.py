@@ -100,6 +100,32 @@ def test_ring_training_composes_with_head_sharding():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_pipelined_depth_training_matches_sequential():
+    """The transformer DEPTH pipelined over an 8-stage mesh
+    (``PipelinedLongContextClassifier``) must train to the same loss
+    history as the identical stacked-block model applied sequentially on
+    one device — pipeline parallelism reachable from a model config, not
+    just the ``pipeline_apply`` primitive."""
+    from multimodal_eeg_fmri_tpu.models import PipelinedLongContextClassifier
+
+    T, C, B = 64, 4, 8
+    data = _long_data(16, T, C, seed=2)
+    cfg = TrainConfig(batch_size=B, num_epochs=3, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("stage",))
+    kw = dict(hidden_dim=32, num_heads=4, patch=2, num_layers=8)
+
+    res_pipe = _fit(PipelinedLongContextClassifier(mesh=mesh, **kw),
+                    cfg, data, jax.random.key(3))
+    res_seq = _fit(PipelinedLongContextClassifier(mesh=None, **kw),
+                   cfg, data, jax.random.key(3))
+    a = np.asarray(res_pipe.history["train_loss"])
+    b = np.asarray(res_seq.history["train_loss"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert a[-1] < a[0]
+
+
 @pytest.mark.slow
 def test_ring_trains_at_4k_context():
     """T = 4096 on the virtual mesh — einsum would materialize a
