@@ -290,6 +290,336 @@ def run_golden_replay():
     return fw, th
 
 
+# ---------------------------------------------------------------------------
+# fMRI protocol replay — 3 models × stratified 5-fold, the reference's
+# leakage-free v11 protocol (``run_fmri_v11.py:715-931``)
+# ---------------------------------------------------------------------------
+
+FM_A, FM_C, FM_H = 90, 64, 32
+FM_SUBJECTS = 60
+# the reference fMRI protocol's own hyperparameters (``run_fmri_v11.py:58-61``
+# Config: batch 8, 100 epochs, lr 1e-4, wd 1e-4) — NOT the EEG protocol's.
+# At the EEG budget (15 epochs, lr 2e-4) both frameworks sit near chance on
+# this 60-subject task and the comparison is noise-vs-noise.
+FM_EPOCHS, FM_LR = 100, 1e-4
+
+
+def fmri_protocol_cfg():
+    return TrainConfig(batch_size=BSZ, num_epochs=FM_EPOCHS,
+                       learning_rate=FM_LR, weight_decay=WD,
+                       schedule="constant", selection="val",
+                       patience=100, seed=SEED)
+
+
+class TorchFMRIEncoder(nn.Module):
+    """in → 2h → h with BN/ReLU (``run_fmri_v11.py:272-305`` spec)."""
+
+    def __init__(self, cin, h):
+        super().__init__()
+        self.l1, self.b1 = nn.Linear(cin, 2 * h), nn.BatchNorm1d(2 * h)
+        self.l2, self.b2 = nn.Linear(2 * h, h), nn.BatchNorm1d(h)
+
+    def forward(self, x):
+        x = F.relu(self.b1(self.l1(x)))
+        return F.relu(self.b2(self.l2(x)))
+
+
+class TorchFMRIUnimodal(nn.Module):
+    def __init__(self, cin, h, use_key):
+        super().__init__()
+        self.use_key = use_key
+        self.enc = TorchFMRIEncoder(cin, h)
+        self.h1 = nn.Linear(h, h // 2)
+        self.out = nn.Linear(h // 2, 2)
+
+    def forward(self, act, conn):
+        x = {"activation": act, "connectivity": conn}[self.use_key]
+        return self.out(F.relu(self.h1(self.enc(x))))
+
+
+class TorchFMRIFusion(nn.Module):
+    """``fMRIFusionNet`` spec (``run_fmri_v11.py:372-424``)."""
+
+    def __init__(self, h):
+        super().__init__()
+        self.ae = TorchFMRIEncoder(FM_A, h)
+        self.ce = TorchFMRIEncoder(FM_C, h)
+        self.aw = nn.Parameter(torch.tensor([0.5]))
+        self.cw = nn.Parameter(torch.tensor([0.5]))
+        self.fd, self.fb = nn.Linear(2 * h, h), nn.BatchNorm1d(h)
+        self.h1 = nn.Linear(h, h // 2)
+        self.out = nn.Linear(h // 2, 2)
+
+    def forward(self, act, conn):
+        af, cf = self.ae(act), self.ce(conn)
+        w = F.softmax(torch.cat([self.aw, self.cw]), dim=0)
+        fused = F.relu(self.fb(self.fd(
+            torch.cat([af * w[0], cf * w[1]], 1))))
+        return self.out(F.relu(self.h1(fused)))
+
+
+def fmri_frozen_dataset():
+    from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_fmri
+
+    d = synthetic_fmri(n_subjects=FM_SUBJECTS, activation_dim=FM_A,
+                       connectivity_dim=FM_C, separation=1.0, seed=321,
+                       with_regression=False)
+    return d
+
+
+def run_fmri_framework_protocol(data, cfg, splits):
+    from multimodal_eeg_fmri_tpu.models import (
+        FMRIActivationOnly,
+        FMRIConnectivityOnly,
+        FMRIFusionNet,
+    )
+
+    models = {
+        "fusion": FMRIFusionNet(hidden_dim=FM_H, dropout=0.0),
+        "activation_only": FMRIActivationOnly(hidden_dim=FM_H, dropout=0.0),
+        "connectivity_only": FMRIConnectivityOnly(hidden_dim=FM_H,
+                                                  dropout=0.0),
+    }
+    results = run_model_suite(models, cfg, data, splits,
+                              normalize="feature",
+                              normalize_keys=("activation", "connectivity"))
+    return {name: {m: r.summary[m] for m in ("accuracy", "f1", "auc")}
+            for name, r in results.items()}
+
+
+def run_fmri_torch_protocol(data, cfg, splits):
+    from multimodal_eeg_fmri_tpu.data.normalize import feature_standardize
+
+    factories = {
+        "fusion": lambda: TorchFMRIFusion(FM_H),
+        "activation_only": lambda: TorchFMRIUnimodal(FM_A, FM_H,
+                                                     "activation"),
+        "connectivity_only": lambda: TorchFMRIUnimodal(FM_C, FM_H,
+                                                       "connectivity"),
+    }
+    out = {}
+    for name, make in factories.items():
+        fold_metrics = {m: [] for m in ("accuracy", "f1", "auc")}
+        for k, sp in enumerate(splits):
+            torch.manual_seed(cfg.seed * 1000 + k)
+            d = feature_standardize(data, sp.train,
+                                    ("activation", "connectivity"))
+            act = torch.tensor(d["activation"])
+            conn = torch.tensor(d["connectivity"])
+            y = d["label"].astype(np.int64)
+            model = make()
+            cw = torch.tensor(balanced_class_weights(y[sp.train], 2))
+            opt = torch.optim.AdamW(model.parameters(),
+                                    lr=cfg.learning_rate,
+                                    weight_decay=cfg.weight_decay)
+            g = torch.Generator().manual_seed(cfg.seed + k)
+            best_f1, best_state = -1.0, None
+            n = len(sp.train)
+            steps = n // cfg.batch_size
+            for _ in range(cfg.num_epochs):
+                model.train()
+                perm = sp.train[torch.randperm(n, generator=g).numpy()]
+                for s in range(steps):
+                    idx = perm[s * cfg.batch_size:(s + 1) * cfg.batch_size]
+                    loss = F.cross_entropy(
+                        model(act[idx], conn[idx]),
+                        torch.tensor(y[idx]), weight=cw)
+                    opt.zero_grad()
+                    loss.backward()
+                    nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+                    opt.step()
+                model.eval()
+                with torch.no_grad():
+                    probs = F.softmax(model(act[sp.val], conn[sp.val]),
+                                      1).numpy()
+                vf1 = f1_score(y[sp.val], probs.argmax(1), zero_division=0)
+                if vf1 > best_f1:
+                    best_f1 = vf1
+                    best_state = {k2: v.clone()
+                                  for k2, v in model.state_dict().items()}
+            model.load_state_dict(best_state)
+            model.eval()
+            with torch.no_grad():
+                probs = F.softmax(model(act[sp.test], conn[sp.test]),
+                                  1).numpy()
+            pred = probs.argmax(1)
+            try:
+                auc = roc_auc_score(y[sp.test], probs[:, 1])
+            except ValueError:
+                auc = 0.5
+            fold_metrics["accuracy"].append(
+                accuracy_score(y[sp.test], pred))
+            fold_metrics["f1"].append(
+                f1_score(y[sp.test], pred, zero_division=0))
+            fold_metrics["auc"].append(auc)
+        out[name] = {m: (float(np.mean(v)), float(np.std(v)))
+                     for m, v in fold_metrics.items()}
+    return out
+
+
+def run_fmri_golden_replay():
+    from multimodal_eeg_fmri_tpu.train.cv import fmri_kfold_splits
+
+    data = fmri_frozen_dataset()
+    cfg = fmri_protocol_cfg()
+    splits = fmri_kfold_splits(data, cfg, n_splits=N_SPLITS)
+    fw = run_fmri_framework_protocol(data, cfg, splits)
+    th = run_fmri_torch_protocol(data, cfg, splits)
+    return fw, th
+
+
+@pytest.mark.slow
+def test_fmri_golden_protocol_replay():
+    fw, th = run_fmri_golden_replay()
+    msgs = []
+    for name in fw:
+        for m in ("accuracy", "f1", "auc"):
+            d = abs(fw[name][m][0] - th[name][m][0])
+            msgs.append(f"{name}/{m}: fw {fw[name][m][0]:.4f} "
+                        f"torch {th[name][m][0]:.4f} |Δ| {d:.4f}")
+            assert d <= TOL_MEAN, "\n".join(msgs)
+    assert fw["fusion"]["f1"][0] > 0.6, fw["fusion"]
+    assert th["fusion"]["f1"][0] > 0.6, th["fusion"]
+
+
+# ---------------------------------------------------------------------------
+# Bridge LOOCV protocol replay — the reference's stage-2 protocol
+# (``CrossModal_Bridge_EEG-fMRI_scr.ipynb`` cells 4/22/27: LeaveOneOut over
+# subjects, AdamW lr 1e-4 wd 1e-4, weighted CE, grad-clip 1.0,
+# ReduceLROnPlateau(0.5, 5) on TRAIN loss, best-train-loss selection with
+# early-stop patience 10, one pooled prediction per held-out subject)
+# ---------------------------------------------------------------------------
+
+BR_E, BR_F, BR_D = 128, 64, 128   # BridgeConfig dims (cell 4)
+BR_SUBJECTS = 32                  # overlap_subjects = range(1, 33)
+
+
+class TorchBridgeProto(nn.Module):
+    """``EEGfMRIBridgeFusionNet`` spec at production dims (notebook cell 22;
+    same architecture as ``test_torch_parity_fullnet.TorchBridge`` which is
+    fixed to tiny parity dims). Dropout 0 — cross-framework dropout RNG
+    cannot align; every other protocol element is identical."""
+
+    def __init__(self, e_dim, f_dim, d, heads=4):
+        super().__init__()
+        self.ed, self.el = nn.Linear(e_dim, d), nn.LayerNorm(d)
+        self.fd, self.fl = nn.Linear(f_dim, d), nn.LayerNorm(d)
+        self.cross = nn.MultiheadAttention(d, heads, batch_first=True)
+        from test_torch_parity_fullnet import TorchLearnedFusion
+
+        self.fusion = TorchLearnedFusion(2, d)
+        self.c1, self.cl = nn.Linear(d, d // 2), nn.LayerNorm(d // 2)
+        self.c2 = nn.Linear(d // 2, 2)
+
+    def forward(self, eeg, fmri):
+        e = F.gelu(self.el(self.ed(eeg)))
+        f = F.gelu(self.fl(self.fd(fmri)))
+        seq = torch.stack([e, f], 1)
+        enh, _ = self.cross(e.unsqueeze(1), seq, seq)
+        fused, _ = self.fusion([enh.squeeze(1), f])
+        return self.c2(F.relu(self.cl(self.c1(fused))))
+
+
+def bridge_frozen_dataset():
+    from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_bridge
+
+    # separation 0.5: both frameworks land mid-range (~0.8-0.96) — at 1.0
+    # both hit 1.0000 everywhere and the agreement is trivially at ceiling
+    return synthetic_bridge(n_subjects=BR_SUBJECTS, eeg_dim=BR_E,
+                            fmri_dim=BR_F, separation=0.5, seed=77)
+
+
+def bridge_protocol_cfg():
+    # BridgeConfig (cell 4): batch 8, 50 epochs, lr 1e-4, wd 1e-4,
+    # patience 10; plateau(0.5, 5) + selection on train loss (cell 27).
+    return TrainConfig(batch_size=BSZ, num_epochs=50, learning_rate=1e-4,
+                       weight_decay=1e-4, schedule="plateau",
+                       plateau_factor=0.5, plateau_patience=5,
+                       selection="train_loss", patience=10, seed=SEED)
+
+
+def run_bridge_torch_protocol(data, cfg):
+    eeg_t = torch.tensor(data["eeg"])
+    fmri_t = torch.tensor(data["fmri"])
+    y = data["label"].astype(np.int64)
+    n = len(y)
+    targs, preds, probs1 = [], [], []
+    for k in range(n):
+        train_idx = np.delete(np.arange(n), k)
+        torch.manual_seed(cfg.seed * 1000 + k)
+        model = TorchBridgeProto(BR_E, BR_F, BR_D)
+        cw = torch.tensor(balanced_class_weights(y[train_idx], 2))
+        opt = torch.optim.AdamW(model.parameters(), lr=cfg.learning_rate,
+                                weight_decay=cfg.weight_decay)
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="min", factor=cfg.plateau_factor,
+            patience=cfg.plateau_patience)
+        g = torch.Generator().manual_seed(cfg.seed + k)
+        best_loss, best_state, bad = float("inf"), None, 0
+        ntr = len(train_idx)
+        steps = ntr // cfg.batch_size
+        for _ in range(cfg.num_epochs):
+            model.train()
+            perm = train_idx[torch.randperm(ntr, generator=g).numpy()]
+            ep = []
+            for s in range(steps):
+                idx = perm[s * cfg.batch_size:(s + 1) * cfg.batch_size]
+                loss = F.cross_entropy(model(eeg_t[idx], fmri_t[idx]),
+                                       torch.tensor(y[idx]), weight=cw)
+                opt.zero_grad()
+                loss.backward()
+                nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+                opt.step()
+                ep.append(loss.item())
+            tl = float(np.mean(ep))
+            sched.step(tl)
+            if tl < best_loss:
+                best_loss, bad = tl, 0
+                best_state = {k2: v.clone()
+                              for k2, v in model.state_dict().items()}
+            else:
+                bad += 1
+            if bad >= cfg.patience:
+                break
+        model.load_state_dict(best_state)
+        model.eval()
+        with torch.no_grad():
+            p = F.softmax(model(eeg_t[k:k + 1], fmri_t[k:k + 1]), 1).numpy()
+        targs.append(y[k])
+        preds.append(int(p.argmax(1)[0]))
+        probs1.append(float(p[0, 1]))
+    targs, preds = np.asarray(targs), np.asarray(preds)
+    return {"accuracy": accuracy_score(targs, preds),
+            "f1": f1_score(targs, preds, zero_division=0),
+            "auc": roc_auc_score(targs, np.asarray(probs1))}
+
+
+def run_bridge_golden_replay():
+    from multimodal_eeg_fmri_tpu.train.bridge_flow import run_bridge_loocv
+
+    data = bridge_frozen_dataset()
+    cfg = bridge_protocol_cfg()
+    fw_res = run_bridge_loocv(data, cfg, bridge_dim=BR_D, dropout=0.0,
+                              with_xai=False)
+    fw = {m: fw_res.loocv_metrics[m] for m in ("accuracy", "f1", "auc")}
+    th = run_bridge_torch_protocol(data, cfg)
+    return fw, th
+
+
+@pytest.mark.slow
+def test_bridge_golden_protocol_replay():
+    fw, th = run_bridge_golden_replay()
+    msgs = []
+    for m in ("accuracy", "f1", "auc"):
+        d = abs(fw[m] - th[m])
+        msgs.append(f"bridge/{m}: fw {fw[m]:.4f} torch {th[m]:.4f} "
+                    f"|Δ| {d:.4f}")
+        assert d <= TOL_MEAN, "\n".join(msgs)
+    # both must actually solve the separable bridge task
+    assert fw["f1"] > 0.6, fw
+    assert th["f1"] > 0.6, th
+
+
 # mean-agreement tolerance per metric: 5 folds of ~11 test subjects — one
 # flipped subject moves a fold metric by ~0.09, so two net subject-flips
 # across the protocol shift a mean by ~0.036. Measured deltas (DESIGN.md
@@ -313,12 +643,23 @@ def test_golden_protocol_replay():
     assert th["trimodal"]["f1"][0] > 0.6, th["trimodal"]
 
 
-if __name__ == "__main__":
-    fw, th = run_golden_replay()
-    print(f"\n{'model':<10}{'metric':<10}{'framework':<18}{'torch':<18}|Δmean|")
+def _print_table(title, fw, th):
+    print(f"\n== {title} ==")
+    print(f"{'model':<18}{'metric':<10}{'framework':<18}{'torch':<18}|Δmean|")
     for name in fw:
         for m in ("accuracy", "f1", "auc"):
             fm, fs = fw[name][m]
             tm_, ts = th[name][m]
-            print(f"{name:<10}{m:<10}{fm:.4f}±{fs:.4f}    "
+            print(f"{name:<18}{m:<10}{fm:.4f}±{fs:.4f}    "
                   f"{tm_:.4f}±{ts:.4f}    {abs(fm - tm_):.4f}")
+
+
+if __name__ == "__main__":
+    _print_table("EEG 4-model x 5-fold SGKF", *run_golden_replay())
+    _print_table("fMRI 3-model x 5-fold SKF", *run_fmri_golden_replay())
+    bfw, bth = run_bridge_golden_replay()
+    print(f"\n== Bridge LOOCV ({BR_SUBJECTS} subjects, pooled) ==")
+    print(f"{'metric':<10}{'framework':<14}{'torch':<14}|Δ|")
+    for m in ("accuracy", "f1", "auc"):
+        print(f"{m:<10}{bfw[m]:<14.4f}{bth[m]:<14.4f}"
+              f"{abs(bfw[m] - bth[m]):.4f}")
