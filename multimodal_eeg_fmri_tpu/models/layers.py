@@ -83,14 +83,19 @@ class MultiHeadAttention(nn.Module):
     # the returned weights are None — only the XAI paths read them, and
     # those run at the reference's short lengths).
     flash_min_len: int = 256
-    # "auto" (length-based flash routing), "einsum", "flash", or "ring".
-    # "ring" runs sequence-parallel attention (ops/ring_attention.py): the
-    # TIME axis shards over ``mesh`` axis ``seq_axis`` and K/V chunks rotate
-    # via ppermute — the config-reachable long-context training path.
+    # "auto" (length-based flash routing), "einsum", "flash", "ring", or
+    # "ring_local". "ring" runs sequence-parallel attention
+    # (ops/ring_attention.py): the TIME axis shards over ``mesh`` axis
+    # ``seq_axis`` and K/V chunks rotate via ppermute — the config-reachable
+    # long-context training path. "ring_local" is the same math for callers
+    # ALREADY inside a shard_map (e.g. a pipelined stage): it calls the
+    # per-device ring body directly on the local T-chunk (shard_map cannot
+    # nest), with the ring length given statically via ``ring_size``.
     attn_impl: str = "auto"
     mesh: Optional[jax.sharding.Mesh] = None
     seq_axis: str = "seq"
     head_axis: Optional[str] = None
+    ring_size: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -122,7 +127,20 @@ class MultiHeadAttention(nn.Module):
                 and key.shape[1] >= self.flash_min_len
                 and (self.dropout == 0.0 or not train)
             ) else "einsum"
-        if impl == "ring":
+        if impl == "ring_local":
+            if self.ring_size is None:
+                raise ValueError("attn_impl='ring_local' requires ring_size")
+            from multimodal_eeg_fmri_tpu.ops.ring_attention import (
+                ring_attention_local,
+            )
+
+            out = ring_attention_local(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), axis_name=self.seq_axis,
+                axis_size=self.ring_size,
+            ).transpose(0, 2, 1, 3)
+            mean_probs = None
+        elif impl == "ring":
             if self.mesh is None:
                 raise ValueError("attn_impl='ring' requires a mesh")
             from multimodal_eeg_fmri_tpu.ops.ring_attention import (
@@ -176,6 +194,7 @@ class TransformerBlock(nn.Module):
     mesh: Optional[jax.sharding.Mesh] = None
     seq_axis: str = "seq"
     head_axis: Optional[str] = None
+    ring_size: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -184,6 +203,7 @@ class TransformerBlock(nn.Module):
         y, _ = MultiHeadAttention(
             self.num_heads, self.dropout, attn_impl=self.attn_impl,
             mesh=self.mesh, seq_axis=self.seq_axis, head_axis=self.head_axis,
+            ring_size=self.ring_size,
             name="attn",
         )(y, y, y, train=train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(y)

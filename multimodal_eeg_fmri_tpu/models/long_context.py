@@ -95,7 +95,11 @@ class PipelinedLongContextClassifier:
     stage params live stacked on a leading layer axis sharded over the
     mesh, and the same object with ``mesh=None`` applies the stack
     sequentially — the parity test trains both and requires equal loss
-    histories. Duck-typed (``init``/``apply`` like a flax module, fixed
+    histories. With ``seq_axis`` set on a 2D ``(stage, seq)`` mesh it
+    composes ring attention (time) with pipelining (depth): each stage's
+    attention runs the per-device ring body over ``seq_axis``
+    (``attn_impl="ring_local"``) while activations hop stages over
+    ``stage_axis``. Duck-typed (``init``/``apply`` like a flax module, fixed
     ``ModelOutput`` return) so it drops into ``train.fit.make_fit_fn``
     unchanged. Dropout-free by construction (stages run under shard_map
     where flax rng plumbing does not reach; the reference's nets at this
@@ -109,7 +113,8 @@ class PipelinedLongContextClassifier:
     def __init__(self, hidden_dim: int = 64, num_classes: int = 2,
                  num_layers: Optional[int] = None, num_heads: int = 4,
                  patch: int = 1, mesh: Optional[jax.sharding.Mesh] = None,
-                 stage_axis: str = "stage", n_micro: Optional[int] = None):
+                 stage_axis: str = "stage", n_micro: Optional[int] = None,
+                 seq_axis: Optional[str] = None):
         if mesh is not None:
             n_stages = mesh.shape[stage_axis]
             if num_layers is None:
@@ -128,7 +133,22 @@ class PipelinedLongContextClassifier:
         self.mesh = mesh
         self.stage_axis = stage_axis
         self.n_micro = n_micro
-        self._block = TransformerBlock(hidden_dim, num_heads, dropout=0.0)
+        self.seq_axis = seq_axis
+        if mesh is not None and seq_axis is not None:
+            # ring (time) × pipeline (depth) on one 2D mesh: each stage's
+            # attention runs the per-device ring body over the seq axis —
+            # shard_map cannot nest, so the block uses "ring_local" with the
+            # ring length fixed from the mesh
+            self._block = TransformerBlock(
+                hidden_dim, num_heads, dropout=0.0, attn_impl="ring_local",
+                seq_axis=seq_axis, ring_size=mesh.shape[seq_axis])
+        else:
+            self._block = TransformerBlock(hidden_dim, num_heads, dropout=0.0)
+        # init twin: identical param tree (q/k/v/out projections exist for
+        # every attn_impl) but traceable OUTSIDE shard_map — "ring_local"
+        # calls lax.axis_index, which only exists inside the mapped body
+        self._init_block = TransformerBlock(hidden_dim, num_heads,
+                                            dropout=0.0, attn_impl="einsum")
         self._embed = nn.Dense(hidden_dim)
         self._head = ClassifierHead((hidden_dim // 2,), num_classes, 0.0,
                                     norm="layer")
@@ -150,7 +170,7 @@ class PipelinedLongContextClassifier:
             x.shape[1], self.hidden_dim, x.dtype)[None]
         block_keys = jax.random.split(k_blocks, self.num_layers)
         blocks_p = jax.vmap(
-            lambda k: self._block.init(k, x, train=False)["params"]
+            lambda k: self._init_block.init(k, x, train=False)["params"]
         )(block_keys)
         ln_p = self._ln.init(k_ln, x)["params"]
         pooled = jnp.mean(x, axis=1)
@@ -170,12 +190,17 @@ class PipelinedLongContextClassifier:
         block = lambda bp, h: self._block.apply({"params": bp}, h,
                                                 train=False)
         if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
             from multimodal_eeg_fmri_tpu.parallel.pipeline import (
                 pipeline_apply,
             )
 
+            x_spec = (P(None, None, self.seq_axis, None)
+                      if self.seq_axis is not None else None)
             x = pipeline_apply(p["blocks"], x, block, self.mesh,
-                               axis=self.stage_axis, n_micro=self.n_micro)
+                               axis=self.stage_axis, n_micro=self.n_micro,
+                               x_spec=x_spec)
         else:
             x = jax.lax.scan(
                 lambda h, bp: (block(bp, h), None), x, p["blocks"])[0]

@@ -85,6 +85,7 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = STAGE_AXIS,
     n_micro: int = None,
+    x_spec: P = None,
 ) -> jnp.ndarray:
     """Run ``x`` through ``n_stages`` identical stages pipelined over
     ``mesh`` axis ``axis``.
@@ -94,6 +95,15 @@ def pipeline_apply(
     x: ``(batch, ...)`` — split into ``n_micro`` microbatches (batch must
     divide). ``apply_fn(stage_params, h) -> h`` must preserve ``h``'s shape
     (homogeneous stages). Returns ``(batch, ...)`` outputs.
+
+    ``x_spec`` (optional) shards the MICROBATCHED ``(n_micro, micro, ...)``
+    input over further mesh axes — e.g. ``P(None, None, "seq", None)`` for
+    a (n_micro, micro, T, D) stream whose TIME axis rides a second ``seq``
+    mesh axis. ``apply_fn`` then sees the local chunk and may use
+    collectives over those axes itself (ring attention via
+    ``attn_impl="ring_local"``); stage hops ppermute each (stage, seq)
+    shard to its (stage+1, seq) neighbor unchanged. Output follows the
+    same spec.
     """
     n_stages = mesh.shape[axis]
     n_micro = n_micro or n_stages
@@ -102,14 +112,15 @@ def pipeline_apply(
         raise ValueError(f"batch {batch} not divisible by n_micro={n_micro}")
     xm = x.reshape(n_micro, batch // n_micro, *x.shape[1:])
 
+    xs = P() if x_spec is None else x_spec
     param_spec = jax.tree_util.tree_map(
         lambda p: P(axis, *([None] * (np.ndim(p) - 1))), stacked_params)
     fn = jax.shard_map(
         partial(_pipeline_local, apply_fn=apply_fn, axis_name=axis,
                 n_stages=n_stages, n_micro=n_micro),
         mesh=mesh,
-        in_specs=(param_spec, P()),
-        out_specs=P(),
+        in_specs=(param_spec, xs),
+        out_specs=xs,
         check_vma=False,
     )
     out = fn(stacked_params, xm)

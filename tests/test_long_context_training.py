@@ -126,6 +126,35 @@ def test_pipelined_depth_training_matches_sequential():
     assert a[-1] < a[0]
 
 
+def test_ring_times_pipeline_2d_mesh_matches_sequential():
+    """Ring (time) × pipeline (depth) composed in ONE model on a 4×2
+    stage×seq mesh: each pipelined stage's attention runs the per-device
+    ring body over the seq axis (``attn_impl='ring_local'`` — shard_map
+    cannot nest, so the block uses the local ring math directly). Loss
+    history must match the identical stacked-block model applied
+    sequentially on one device."""
+    from multimodal_eeg_fmri_tpu.models import PipelinedLongContextClassifier
+
+    T, C, B = 128, 4, 8
+    data = _long_data(16, T, C, seed=5)
+    cfg = TrainConfig(batch_size=B, num_epochs=3, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("stage", "seq"))
+    kw = dict(hidden_dim=32, num_heads=4, patch=2, num_layers=4)
+
+    res_2d = _fit(
+        PipelinedLongContextClassifier(mesh=mesh, seq_axis="seq", **kw),
+        cfg, data, jax.random.key(7))
+    res_seq = _fit(PipelinedLongContextClassifier(mesh=None, **kw),
+                   cfg, data, jax.random.key(7))
+    a = np.asarray(res_2d.history["train_loss"])
+    b = np.asarray(res_seq.history["train_loss"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert a[-1] < a[0]
+
+
 @pytest.mark.slow
 def test_ring_trains_at_4k_context():
     """T = 4096 on the virtual mesh — einsum would materialize a
