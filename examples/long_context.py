@@ -120,6 +120,25 @@ def main():
           f"3-epoch loss {np.round(losses, 4)}")
     assert losses[-1] < losses[0]
 
+    # --- ring × pipeline: depth AND time sharded on ONE 2D mesh ---
+    # 4 pipelined transformer stages × seq 2: activations hop stages by
+    # ppermute while each stage's attention runs the per-device ring body
+    # over the seq axis (attn_impl="ring_local" — shard_map cannot nest)
+    from multimodal_eeg_fmri_tpu.models import PipelinedLongContextClassifier
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                  ("stage", "seq"))
+    pl = PipelinedLongContextClassifier(
+        hidden_dim=32, num_heads=4, patch=4, num_layers=4,
+        mesh=mesh2d, seq_axis="seq")
+    fit2 = jax.jit(make_fit_fn(pl, cfg, eval_names=()))
+    res2 = fit2(jax.random.key(0),
+                {k2: jnp.asarray(v2) for k2, v2 in data.items()}, {}, None)
+    losses2 = np.asarray(res2.history["train_loss"]).ravel()
+    print(f"ring x pipeline: 4 stages x seq 2, T={T_long}, depth 4, "
+          f"3-epoch loss {np.round(losses2, 4)}")
+    assert losses2[-1] < losses2[0]
+
 
 if __name__ == "__main__":
     main()

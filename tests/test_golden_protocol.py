@@ -325,22 +325,27 @@ class TorchFMRIEncoder(nn.Module):
 
 
 class TorchFMRIUnimodal(nn.Module):
-    def __init__(self, cin, h, use_key):
+    """``nout=1`` gives the regression head (``run_fmri_v11.py:324-337``:
+    same trunk, 1-dim squeezed output)."""
+
+    def __init__(self, cin, h, use_key, nout=2):
         super().__init__()
         self.use_key = use_key
         self.enc = TorchFMRIEncoder(cin, h)
         self.h1 = nn.Linear(h, h // 2)
-        self.out = nn.Linear(h // 2, 2)
+        self.out = nn.Linear(h // 2, nout)
+        self.nout = nout
 
     def forward(self, act, conn):
         x = {"activation": act, "connectivity": conn}[self.use_key]
-        return self.out(F.relu(self.h1(self.enc(x))))
+        y = self.out(F.relu(self.h1(self.enc(x))))
+        return y.squeeze(-1) if self.nout == 1 else y
 
 
 class TorchFMRIFusion(nn.Module):
     """``fMRIFusionNet`` spec (``run_fmri_v11.py:372-424``)."""
 
-    def __init__(self, h):
+    def __init__(self, h, nout=2):
         super().__init__()
         self.ae = TorchFMRIEncoder(FM_A, h)
         self.ce = TorchFMRIEncoder(FM_C, h)
@@ -348,14 +353,20 @@ class TorchFMRIFusion(nn.Module):
         self.cw = nn.Parameter(torch.tensor([0.5]))
         self.fd, self.fb = nn.Linear(2 * h, h), nn.BatchNorm1d(h)
         self.h1 = nn.Linear(h, h // 2)
-        self.out = nn.Linear(h // 2, 2)
+        self.out = nn.Linear(h // 2, nout)
+        self.nout = nout
 
     def forward(self, act, conn):
         af, cf = self.ae(act), self.ce(conn)
         w = F.softmax(torch.cat([self.aw, self.cw]), dim=0)
         fused = F.relu(self.fb(self.fd(
             torch.cat([af * w[0], cf * w[1]], 1))))
-        return self.out(F.relu(self.h1(fused)))
+        y = self.out(F.relu(self.h1(fused)))
+        return y.squeeze(-1) if self.nout == 1 else y
+
+    def fusion_weights(self):
+        with torch.no_grad():
+            return F.softmax(torch.cat([self.aw, self.cw]), dim=0).numpy()
 
 
 def fmri_frozen_dataset():
@@ -480,6 +491,152 @@ def test_fmri_golden_protocol_replay():
             assert d <= TOL_MEAN, "\n".join(msgs)
     assert fw["fusion"]["f1"][0] > 0.6, fw["fusion"]
     assert th["fusion"]["f1"][0] > 0.6, th["fusion"]
+
+
+# ---------------------------------------------------------------------------
+# fMRI REGRESSION protocol replay — 3 models × plain 5-fold KFold, MSE loss,
+# best-val-R2 selection (``run_fmri_v11.py:776-780,807,856``); BASELINE rows
+# "fMRI regression R2/RMSE/MAE" + "learned fusion weights 0.4999/0.5001"
+# ---------------------------------------------------------------------------
+
+def fmri_regression_dataset():
+    from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_fmri
+
+    # separation 2.0: the synthetic target is y·sep + 0.5·noise, so at 1.0
+    # the ceiling R² is 0.5 and both frameworks idle near 0 — at 2.0 both
+    # explain real variance (R² 0.45-0.67) and the comparison is informative
+    return synthetic_fmri(n_subjects=FM_SUBJECTS, activation_dim=FM_A,
+                          connectivity_dim=FM_C, separation=2.0, seed=654,
+                          with_regression=True)
+
+
+def run_fmri_regression_framework(data, cfg, splits):
+    from multimodal_eeg_fmri_tpu.models import (
+        FMRIActivationOnly,
+        FMRIConnectivityOnly,
+        FMRIFusionNet,
+    )
+
+    models = {
+        "fusion": FMRIFusionNet(hidden_dim=FM_H, dropout=0.0,
+                                task="regression"),
+        "activation_only": FMRIActivationOnly(hidden_dim=FM_H, dropout=0.0,
+                                              task="regression"),
+        "connectivity_only": FMRIConnectivityOnly(
+            hidden_dim=FM_H, dropout=0.0, task="regression"),
+    }
+    reg = {k: v for k, v in data.items() if k != "reg_label"}
+    reg["label"] = data["reg_label"].astype(np.float32)
+    results = run_model_suite(models, cfg, reg, splits, task="regression",
+                              normalize="feature",
+                              normalize_keys=("activation", "connectivity"))
+    out = {name: {m: r.summary[m] for m in ("r2", "rmse", "mae")}
+           for name, r in results.items()}
+    # learned softmaxed modality weights from each fold's best params
+    from multimodal_eeg_fmri_tpu.models.fmri import FMRIFusionNet as FFN
+
+    n = results["fusion"].n_folds
+    fwts = np.asarray(jax.vmap(FFN.fusion_weights)(
+        results["fusion"].params))[:n]
+    return out, fwts.mean(axis=0)
+
+
+def run_fmri_regression_torch(data, cfg, splits):
+    from multimodal_eeg_fmri_tpu.data.normalize import feature_standardize
+    from sklearn.metrics import (
+        mean_absolute_error,
+        mean_squared_error,
+        r2_score,
+    )
+
+    factories = {
+        "fusion": lambda: TorchFMRIFusion(FM_H, nout=1),
+        "activation_only": lambda: TorchFMRIUnimodal(
+            FM_A, FM_H, "activation", nout=1),
+        "connectivity_only": lambda: TorchFMRIUnimodal(
+            FM_C, FM_H, "connectivity", nout=1),
+    }
+    out, fold_weights = {}, []
+    for name, make in factories.items():
+        fold_metrics = {m: [] for m in ("r2", "rmse", "mae")}
+        for k, sp in enumerate(splits):
+            torch.manual_seed(cfg.seed * 1000 + k)
+            d = feature_standardize(data, sp.train,
+                                    ("activation", "connectivity"))
+            act = torch.tensor(d["activation"])
+            conn = torch.tensor(d["connectivity"])
+            y = d["reg_label"].astype(np.float32)
+            yt = torch.tensor(y)
+            model = make()
+            opt = torch.optim.AdamW(model.parameters(),
+                                    lr=cfg.learning_rate,
+                                    weight_decay=cfg.weight_decay)
+            g = torch.Generator().manual_seed(cfg.seed + k)
+            best_r2, best_state = -np.inf, None
+            n = len(sp.train)
+            steps = n // cfg.batch_size
+            for _ in range(cfg.num_epochs):
+                model.train()
+                perm = sp.train[torch.randperm(n, generator=g).numpy()]
+                for s in range(steps):
+                    idx = perm[s * cfg.batch_size:(s + 1) * cfg.batch_size]
+                    loss = F.mse_loss(model(act[idx], conn[idx]), yt[idx])
+                    opt.zero_grad()
+                    loss.backward()
+                    nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+                    opt.step()
+                model.eval()
+                with torch.no_grad():
+                    pv = model(act[sp.val], conn[sp.val]).numpy()
+                vr2 = r2_score(y[sp.val], pv)
+                if vr2 > best_r2:
+                    best_r2 = vr2
+                    best_state = {k2: v.clone()
+                                  for k2, v in model.state_dict().items()}
+            model.load_state_dict(best_state)
+            model.eval()
+            with torch.no_grad():
+                pt = model(act[sp.test], conn[sp.test]).numpy()
+            fold_metrics["r2"].append(r2_score(y[sp.test], pt))
+            fold_metrics["rmse"].append(
+                float(np.sqrt(mean_squared_error(y[sp.test], pt))))
+            fold_metrics["mae"].append(mean_absolute_error(y[sp.test], pt))
+            if name == "fusion":
+                fold_weights.append(model.fusion_weights())
+        out[name] = {m: (float(np.mean(v)), float(np.std(v)))
+                     for m, v in fold_metrics.items()}
+    return out, np.mean(fold_weights, axis=0)
+
+
+def run_fmri_regression_replay():
+    from multimodal_eeg_fmri_tpu.train.cv import fmri_kfold_splits
+
+    data = fmri_regression_dataset()
+    cfg = fmri_protocol_cfg()
+    # reference regression CV: plain (unstratified) KFold
+    splits = fmri_kfold_splits(data, cfg, n_splits=N_SPLITS, stratify=False)
+    fw, fw_wts = run_fmri_regression_framework(data, cfg, splits)
+    th, th_wts = run_fmri_regression_torch(data, cfg, splits)
+    return fw, th, fw_wts, th_wts
+
+
+@pytest.mark.slow
+def test_fmri_regression_protocol_replay():
+    fw, th, fw_wts, th_wts = run_fmri_regression_replay()
+    msgs = []
+    for name in fw:
+        for m, tol in (("r2", 0.3), ("rmse", 0.15), ("mae", 0.15)):
+            d = abs(fw[name][m][0] - th[name][m][0])
+            msgs.append(f"{name}/{m}: fw {fw[name][m][0]:.4f} "
+                        f"torch {th[name][m][0]:.4f} |Δ| {d:.4f}")
+            assert d <= tol, "\n".join(msgs)
+    # both frameworks must explain real variance with the fusion model
+    assert fw["fusion"]["r2"][0] > 0.2, fw["fusion"]
+    assert th["fusion"]["r2"][0] > 0.2, th["fusion"]
+    # BASELINE: learned fusion weights barely move off the softmax(0.5, 0.5)
+    # init at lr 1e-4 (reference §18: 0.4999 / 0.5001)
+    np.testing.assert_allclose(fw_wts, [0.5, 0.5], atol=0.05)
+    np.testing.assert_allclose(th_wts, [0.5, 0.5], atol=0.05)
 
 
 # ---------------------------------------------------------------------------
