@@ -316,7 +316,12 @@ def subject_level_votes(result: CVResult) -> Dict[int, int]:
     """LOSO majority vote per held-out subject
     (``run_loso_subject_evaluation``, ``CrossModal_EEG_scr.ipynb §31``):
     each fold's test samples belong to one subject; the vote is the mean
-    class-1 probability thresholded at 0.5 over that subject's samples."""
+    class-1 probability thresholded at 0.5 over that subject's samples.
+    (The reference rounds the mean of HARD argmax predictions; the mean
+    soft probability is the smoother equivalent and, unlike np.round's
+    banker's rounding, has no even-count tie artifact. The golden LOSO
+    replay compares the two rules end-to-end:
+    ``tests/test_golden_protocol.py::test_loso_golden_protocol_replay``.)"""
     votes = {}
     for f in range(result.n_folds):
         w = result.test_weight[f] > 0
