@@ -195,6 +195,16 @@ class TransformerBlock(nn.Module):
     seq_axis: str = "seq"
     head_axis: Optional[str] = None
     ring_size: Optional[int] = None
+    # Mixture-of-Experts FFN (ops/moe.py): >0 replaces the dense FFN with
+    # ``num_experts`` experts, top-k routed with static capacity; with
+    # ``expert_axis`` set the experts shard over that axis of ``mesh``
+    # (expert parallelism). The Switch load-balance aux loss is sown into
+    # the "losses" collection, collected by train.fit.make_fit_fn.
+    num_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 2.0
+    moe_aux_weight: float = 0.01
+    expert_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -209,10 +219,21 @@ class TransformerBlock(nn.Module):
         x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        y = nn.Dense(ff, name="ffn1")(y)
-        y = gelu(y)
-        y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(self.d_model, name="ffn2")(y)
+        if self.num_experts > 0:
+            from multimodal_eeg_fmri_tpu.ops.moe import MoEFFN
+
+            y = MoEFFN(
+                d_model=self.d_model, num_experts=self.num_experts,
+                dim_feedforward=self.dim_feedforward, top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                aux_weight=self.moe_aux_weight, mesh=self.mesh,
+                expert_axis=self.expert_axis, name="moe",
+            )(y, train=train)
+        else:
+            y = nn.Dense(ff, name="ffn1")(y)
+            y = gelu(y)
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            y = nn.Dense(self.d_model, name="ffn2")(y)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
         return x
 

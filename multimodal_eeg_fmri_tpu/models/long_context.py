@@ -52,6 +52,11 @@ class LongContextClassifier(nn.Module):
     mesh: Optional[jax.sharding.Mesh] = None
     seq_axis: str = "seq"
     head_axis: Optional[str] = None
+    # MoE FFN (ops/moe.py): >0 experts per block, optionally sharded over
+    # ``expert_axis`` of the mesh (expert parallelism)
+    num_experts: int = 0
+    moe_top_k: int = 1
+    expert_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -74,6 +79,8 @@ class LongContextClassifier(nn.Module):
                 self.hidden_dim, self.num_heads, dropout=self.dropout,
                 attn_impl=self.attn_impl, mesh=self.mesh,
                 seq_axis=self.seq_axis, head_axis=self.head_axis,
+                num_experts=self.num_experts, moe_top_k=self.moe_top_k,
+                expert_axis=self.expert_axis,
                 name=f"block_{i}",
             )(x, train=train)
         x = nn.LayerNorm(epsilon=1e-5, name="final_ln")(x)

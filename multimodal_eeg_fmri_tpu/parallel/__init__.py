@@ -34,8 +34,20 @@ from multimodal_eeg_fmri_tpu.parallel.pipeline import (
     pipeline_apply,
     shard_stage_params,
 )
+from multimodal_eeg_fmri_tpu.parallel.expert import (
+    EPPlan,
+    build_ep_mesh,
+    ep_param_constraint,
+    ep_param_specs,
+    shard_params_ep,
+)
 
 __all__ = [
+    "EPPlan",
+    "build_ep_mesh",
+    "ep_param_constraint",
+    "ep_param_specs",
+    "shard_params_ep",
     "pipeline_apply",
     "shard_stage_params",
     "TPPlan",

@@ -203,17 +203,16 @@ def make_fit_fn(
         batch = {**batch, **_mp_cast(split_batch(batch))}
         inputs = split_batch(batch)
         variables = {"params": params}
-        mutable = []
+        # "losses" collects auxiliary training losses sown by modules
+        # (e.g. the MoE load-balance loss, ops/moe.py); eval applies are
+        # non-mutable so the sows are no-ops there.
+        mutable = ["losses"]
         if batch_stats:
             variables["batch_stats"] = batch_stats
-            mutable = ["batch_stats"]
+            mutable = ["batch_stats", "losses"]
         out, mut = model.apply(
             variables, **inputs, train=True, rngs={"dropout": rng},
             mutable=mutable,
-        ) if mutable else (
-            model.apply(variables, **inputs, train=True,
-                        rngs={"dropout": rng}),
-            {},
         )
         new_bs = mut.get("batch_stats", batch_stats)
         if mp_dtype is not None and batch_stats:
@@ -221,7 +220,11 @@ def make_fit_fn(
             # dtypes are invariant across steps
             new_bs = jax.tree_util.tree_map(
                 lambda n, o: n.astype(o.dtype), new_bs, batch_stats)
-        return out, new_bs
+        aux_losses = jax.tree_util.tree_leaves(mut.get("losses", {}))
+        aux = (jnp.sum(jnp.stack([jnp.asarray(a, jnp.float32).sum()
+                                  for a in aux_losses]))
+               if aux_losses else jnp.float32(0.0))
+        return out, new_bs, aux
 
     def _apply_eval(params, batch_stats, batch):
         if preprocess is not None:
@@ -233,10 +236,10 @@ def make_fit_fn(
         return model.apply(variables, **inputs, train=False)
 
     def _loss_and_stats(params, batch_stats, batch, rng, class_weights):
-        out, new_bs = _apply_train(params, batch_stats, batch, rng)
+        out, new_bs, aux = _apply_train(params, batch_stats, batch, rng)
         loss = loss_fn(out.logits, batch[target_key], class_weights,
                        batch.get("weight"))
-        return loss, new_bs
+        return loss + aux, new_bs
 
     grad_fn = jax.value_and_grad(_loss_and_stats, has_aux=True)
 

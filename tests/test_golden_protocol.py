@@ -786,6 +786,149 @@ def test_loso_golden_protocol_replay():
 
 
 # ---------------------------------------------------------------------------
+# fMRI LOSO protocol replay — ``run_fmri_loso_evaluation``
+# (``CrossModal_fmri_scr.ipynb §12``): per-subject fold, fusion net trained
+# on the other subjects with best-state on TRAIN loss, subject vote =
+# round(mean(argmax preds)); subject-level accuracy / weighted F1 /
+# sensitivity / specificity over the vote table
+# ---------------------------------------------------------------------------
+
+FL_SUBJECTS, FL_PER = 16, 4
+
+
+def fmri_loso_frozen_dataset():
+    """16 subjects × 4 fMRI samples: class shift + per-subject confound in
+    both activation and connectivity features (same structure as the EEG
+    LOSO fixture — the confound is what keeps agreement non-trivial)."""
+    rng = np.random.default_rng(77)
+    n = FL_SUBJECTS * FL_PER
+    subj = np.repeat(np.arange(1, FL_SUBJECTS + 1), FL_PER).astype(np.int32)
+    subj_label = np.tile([0, 1], FL_SUBJECTS // 2)
+    y = np.repeat(subj_label, FL_PER).astype(np.int32)
+    shift = (y * 2 - 1).astype(np.float32)[:, None]
+    act = rng.standard_normal((n, FM_A)).astype(np.float32)
+    conn = rng.standard_normal((n, FM_C)).astype(np.float32)
+    act += 0.15 * shift + 0.3 * np.repeat(
+        rng.standard_normal((FL_SUBJECTS, FM_A)).astype(np.float32),
+        FL_PER, axis=0)
+    conn += 0.15 * shift + 0.3 * np.repeat(
+        rng.standard_normal((FL_SUBJECTS, FM_C)).astype(np.float32),
+        FL_PER, axis=0)
+    data = {"activation": act, "connectivity": conn, "label": y,
+            "subject": subj}
+    return data, {s: int(subj_label[s - 1])
+                  for s in range(1, FL_SUBJECTS + 1)}
+
+
+def fmri_loso_cfg():
+    # the reference fMRI hyperparameters (run_fmri_v11.py Config), selection
+    # on TRAIN loss (§12 tracks best_loss over train_epoch)
+    return TrainConfig(batch_size=BSZ, num_epochs=FM_EPOCHS,
+                       learning_rate=FM_LR, weight_decay=1e-4,
+                       schedule="constant", selection="train_loss",
+                       patience=100, seed=SEED)
+
+
+def _fmri_vote_metrics(votes, subj_label):
+    t = np.array([subj_label[s] for s in sorted(votes)])
+    p = np.array([votes[s] for s in sorted(votes)])
+    tp = int(((t == 1) & (p == 1)).sum())
+    tn = int(((t == 0) & (p == 0)).sum())
+    fp = int(((t == 0) & (p == 1)).sum())
+    fn = int(((t == 1) & (p == 0)).sum())
+    return {"accuracy": accuracy_score(t, p),
+            "f1": f1_score(t, p, average="weighted", zero_division=0),
+            "sensitivity": tp / max(tp + fn, 1),
+            "specificity": tn / max(tn + fp, 1)}
+
+
+def run_fmri_loso_framework(data, subj_label, cfg):
+    from multimodal_eeg_fmri_tpu.models import FMRIFusionNet
+    from multimodal_eeg_fmri_tpu.train.cv import (
+        loso_splits,
+        run_cv,
+        subject_level_votes,
+    )
+
+    model = FMRIFusionNet(hidden_dim=FM_H, dropout=0.0)
+    splits = loso_splits(data, cfg)
+    res = run_cv(model, cfg, data, splits, normalize="feature",
+                 normalize_keys=("activation", "connectivity"))
+    return _fmri_vote_metrics(subject_level_votes(res), subj_label)
+
+
+def run_fmri_loso_torch(data, subj_label, cfg):
+    from multimodal_eeg_fmri_tpu.data.normalize import feature_standardize
+
+    votes = {}
+    subj = data["subject"]
+    for k, s in enumerate(sorted(subj_label)):
+        train_idx = np.where(subj != s)[0]
+        test_idx = np.where(subj == s)[0]
+        torch.manual_seed(cfg.seed * 1000 + k)
+        d = feature_standardize(data, train_idx,
+                                ("activation", "connectivity"))
+        act = torch.tensor(d["activation"])
+        conn = torch.tensor(d["connectivity"])
+        y = d["label"].astype(np.int64)
+        model = TorchFMRIFusion(FM_H)
+        cw = torch.tensor(balanced_class_weights(y[train_idx], 2))
+        opt = torch.optim.AdamW(model.parameters(), lr=cfg.learning_rate,
+                                weight_decay=cfg.weight_decay)
+        g = torch.Generator().manual_seed(cfg.seed + k)
+        best_loss, best_state = np.inf, None
+        n = len(train_idx)
+        steps = n // cfg.batch_size
+        for _ in range(cfg.num_epochs):
+            model.train()
+            perm = train_idx[torch.randperm(n, generator=g).numpy()]
+            ep = []
+            for st in range(steps):
+                idx = perm[st * cfg.batch_size:(st + 1) * cfg.batch_size]
+                loss = F.cross_entropy(model(act[idx], conn[idx]),
+                                       torch.tensor(y[idx]), weight=cw)
+                opt.zero_grad()
+                loss.backward()
+                nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+                opt.step()
+                ep.append(loss.item())
+            tl = float(np.mean(ep))
+            if tl < best_loss:
+                best_loss = tl
+                best_state = {k2: v.clone()
+                              for k2, v in model.state_dict().items()}
+        model.load_state_dict(best_state)
+        model.eval()
+        with torch.no_grad():
+            preds = model(act[test_idx], conn[test_idx]).numpy().argmax(1)
+        votes[s] = int(np.round(np.mean(preds)))  # §12 majority vote
+    return _fmri_vote_metrics(votes, subj_label)
+
+
+def run_fmri_loso_golden_replay():
+    data, subj_label = fmri_loso_frozen_dataset()
+    cfg = fmri_loso_cfg()
+    fw = run_fmri_loso_framework(data, subj_label, cfg)
+    th = run_fmri_loso_torch(data, subj_label, cfg)
+    return fw, th
+
+
+@pytest.mark.slow
+def test_fmri_loso_golden_protocol_replay():
+    fw, th = run_fmri_loso_golden_replay()
+    msgs = []
+    for m in ("accuracy", "f1", "sensitivity", "specificity"):
+        d = abs(fw[m] - th[m])
+        msgs.append(f"fmri_loso/{m}: fw {fw[m]:.4f} torch {th[m]:.4f} "
+                    f"|Δ| {d:.4f}")
+        # 16 subjects: one flipped vote moves accuracy by 0.0625; sens/spec
+        # have 8-subject denominators (one vote = 0.125)
+        assert d <= 2 / 16 + 1e-6, "\n".join(msgs)
+    assert fw["accuracy"] > 0.7, fw
+    assert th["accuracy"] > 0.7, th
+
+
+# ---------------------------------------------------------------------------
 # Bridge LOOCV protocol replay — the reference's stage-2 protocol
 # (``CrossModal_Bridge_EEG-fMRI_scr.ipynb`` cells 4/22/27: LeaveOneOut over
 # subjects, AdamW lr 1e-4 wd 1e-4, weighted CE, grad-clip 1.0,
@@ -976,3 +1119,9 @@ if __name__ == "__main__":
     _print_table("fMRI regression 3-model x 5-fold KFold",
                  rfw, rth)
     print(f"fusion weights: fw {rw_fw} torch {rw_th}")
+    ffw, fth = run_fmri_loso_golden_replay()
+    print(f"\n== fMRI LOSO subject votes ({FL_SUBJECTS} subjects x {FL_PER}"
+          f" samples) ==")
+    for m in ("accuracy", "f1", "sensitivity", "specificity"):
+        print(f"{m:<12}{ffw[m]:<14.4f}{fth[m]:<14.4f}"
+              f"{abs(ffw[m] - fth[m]):.4f}")
