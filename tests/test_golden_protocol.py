@@ -793,11 +793,11 @@ def test_loso_golden_protocol_replay():
 # sensitivity / specificity over the vote table
 # ---------------------------------------------------------------------------
 
-FL_SUBJECTS, FL_PER = 16, 4
+FL_SUBJECTS, FL_PER = 24, 4
 
 
 def fmri_loso_frozen_dataset():
-    """16 subjects × 4 fMRI samples: class shift + per-subject confound in
+    """24 subjects × 4 fMRI samples: class shift + per-subject confound in
     both activation and connectivity features (same structure as the EEG
     LOSO fixture — the confound is what keeps agreement non-trivial)."""
     rng = np.random.default_rng(77)
@@ -917,13 +917,15 @@ def run_fmri_loso_golden_replay():
 def test_fmri_loso_golden_protocol_replay():
     fw, th = run_fmri_loso_golden_replay()
     msgs = []
-    for m in ("accuracy", "f1", "sensitivity", "specificity"):
+    # 24 subjects: one flipped vote moves accuracy/weighted-F1 by ~1/24;
+    # sens/spec have 12-subject denominators (one vote = 1/12) — allow a
+    # two-vote band on each
+    for m, tol in (("accuracy", 2 / 24), ("f1", 2 / 24 + 0.01),
+                   ("sensitivity", 2 / 12), ("specificity", 2 / 12)):
         d = abs(fw[m] - th[m])
         msgs.append(f"fmri_loso/{m}: fw {fw[m]:.4f} torch {th[m]:.4f} "
                     f"|Δ| {d:.4f}")
-        # 16 subjects: one flipped vote moves accuracy by 0.0625; sens/spec
-        # have 8-subject denominators (one vote = 0.125)
-        assert d <= 2 / 16 + 1e-6, "\n".join(msgs)
+        assert d <= tol + 1e-6, "\n".join(msgs)
     assert fw["accuracy"] > 0.7, fw
     assert th["accuracy"] > 0.7, th
 
