@@ -1,0 +1,146 @@
+"""Int8 weight-only quantization for deployment artifacts.
+
+No reference analogue (the reference ships raw ``torch.save`` state dicts,
+``CrossModal_EEG_scr.ipynb §23``); this is deployment surface for the
+framework's own checkpoint/serving story: the reference workload writes
+4 models × 5 folds + 66 LOSO folds of checkpoints per experiment, and the
+bridge stage ships frozen stage-1 encoders to a second process — weight-only
+int8 cuts every one of those payloads ~4× with a measured, bounded effect
+on served predictions.
+
+Design (TPU-honest):
+- **Symmetric per-output-channel int8** for floating matmul weights
+  (ndim ≥ 2): ``q = round(w / s)``, ``s = max|w| / 127`` per LAST-axis
+  channel (flax kernels are ``(in..., out)``). Per-channel scales cost
+  ``out`` floats and keep the quantization error of every output feature
+  independent of the dynamic range of its siblings.
+- **Small/1-D leaves stay f32** (biases, norm scales/means/vars, the MoE
+  router bias-free kernel is 2-D and quantizes): they are a rounding-error
+  fraction of the bytes and quantizing BatchNorm statistics is all risk,
+  no size win.
+- **Dequantize at load, compute in f32/bf16**: at this model scale serving
+  is latency-bound, not bandwidth-bound (docs/DESIGN.md: bf16 is ~5%
+  SLOWER than f32 at these shapes), so int8 *compute* would be dishonest
+  complexity — the win is storage/transfer, and the accuracy cost is
+  bounded by tests (logit drift, prediction flips).
+
+The quantized payload is a plain ``.npz`` (int8 tensors + f32 scales +
+a JSON tree manifest) — no orbax dependency at the serving site, matching
+``serving.load_artifact``'s "no Python model code" philosophy.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+_SEP = "/"  # flattened-path key separator inside the npz
+
+
+def _flatten(tree: Any, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+        return out
+    return {prefix: tree}
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Any:
+    tree: Dict[str, Any] = {}
+    for path, leaf in flat.items():
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+    return tree
+
+
+def quantize_leaf(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-last-axis-channel int8. Returns (q, scales) with
+    ``q.shape == w.shape`` (int8) and ``scales.shape == (w.shape[-1],)``."""
+    w = np.asarray(w, np.float32)
+    amax = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)))
+    scales = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scales), -127, 127).astype(np.int8)
+    return q, scales
+
+
+def dequantize_leaf(q: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    return q.astype(np.float32) * scales
+
+
+def _quantizable(leaf) -> bool:
+    a = np.asarray(leaf)
+    return a.ndim >= 2 and np.issubdtype(a.dtype, np.floating)
+
+
+def quantize_tree(params: Any) -> Tuple[Any, Any]:
+    """(params) → (quantized tree, scales tree). Leaves that don't qualify
+    (1-D biases/norm stats, integer leaves) pass through with scale None."""
+    flat = _flatten(params)
+    qt, st = {}, {}
+    for path, leaf in flat.items():
+        if _quantizable(leaf):
+            q, s = quantize_leaf(np.asarray(leaf))
+            qt[path], st[path] = q, s
+        else:
+            qt[path], st[path] = np.asarray(leaf), None
+    return _unflatten(qt), _unflatten(st)
+
+
+def dequantize_tree(qtree: Any, stree: Any) -> Any:
+    qf, sf = _flatten(qtree), _flatten(stree)
+    out = {}
+    for path, q in qf.items():
+        s = sf[path]
+        out[path] = dequantize_leaf(q, s) if s is not None else q
+    return _unflatten(out)
+
+
+def save_quantized(path: str | Path, variables: Dict[str, Any]) -> Path:
+    """Quantize ``variables['params']`` (weight-only) and write one ``.npz``
+    with all other collections (batch_stats, …) stored f32 as-is."""
+    path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_suffix(".npz")
+    arrays: Dict[str, np.ndarray] = {}
+    manifest: Dict[str, Any] = {"collections": sorted(variables)}
+    for col, tree in variables.items():
+        flat = _flatten(tree)
+        for p, leaf in flat.items():
+            key = _SEP.join((col,) + p)
+            leaf = np.asarray(leaf)
+            if col == "params" and _quantizable(leaf):
+                q, s = quantize_leaf(leaf)
+                arrays["q" + _SEP + key] = q
+                arrays["s" + _SEP + key] = s
+            else:
+                arrays["f" + _SEP + key] = leaf
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, __manifest__=json.dumps(manifest),
+                            **arrays)
+    return path
+
+
+def load_quantized(path: str | Path) -> Dict[str, Any]:
+    """Load + dequantize a ``save_quantized`` payload back to f32
+    variables, ready for ``model.apply`` / ``serving.Predictor``."""
+    with np.load(Path(path), allow_pickle=False) as z:
+        manifest = json.loads(str(z["__manifest__"]))
+        flat: Dict[Tuple[str, ...], np.ndarray] = {}
+        for name in z.files:
+            if name == "__manifest__" or name.startswith("s" + _SEP):
+                continue
+            kind, key = name.split(_SEP, 1)
+            path_t = tuple(key.split(_SEP))
+            if kind == "q":
+                flat[path_t] = dequantize_leaf(z[name], z["s" + _SEP + key])
+            else:
+                flat[path_t] = z[name]
+    tree = _unflatten(flat)
+    return {col: tree.get(col, {}) for col in manifest["collections"]}

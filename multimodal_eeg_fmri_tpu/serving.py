@@ -67,6 +67,17 @@ class Predictor:
         return cls(model, restored["params"],
                    restored.get("batch_stats"), **kw)
 
+    @classmethod
+    def from_quantized(cls, model, path, **kw) -> "Predictor":
+        """Serve from an int8 weight-only payload (core/quantize.py:
+        ``save_quantized`` — ~4× smaller than the f32 checkpoint; weights
+        dequantize at load, compute stays f32)."""
+        from multimodal_eeg_fmri_tpu.core.quantize import load_quantized
+
+        restored = load_quantized(path)
+        return cls(model, restored["params"],
+                   restored.get("batch_stats"), **kw)
+
     def _pad(self, inputs: Dict[str, np.ndarray]):
         n = len(next(iter(inputs.values())))
         chunks = []
