@@ -21,8 +21,11 @@ from multimodal_eeg_fmri_tpu.core.checkpoint import (
 from multimodal_eeg_fmri_tpu.core.determinism import run_twice_and_compare
 from multimodal_eeg_fmri_tpu.core.aot import export_jitted, load_bundle
 from multimodal_eeg_fmri_tpu.core.profiling import StepTimer, annotate, trace
+from multimodal_eeg_fmri_tpu.core.quantize import load_quantized, save_quantized
 
 __all__ = [
+    "save_quantized",
+    "load_quantized",
     "BridgeConfig",
     "EEGConfig",
     "ExperimentConfig",

@@ -17,10 +17,13 @@ from multimodal_eeg_fmri_tpu.ops.ring_attention import (
     ring_attention,
     shard_sequence,
 )
+from multimodal_eeg_fmri_tpu.ops.moe import MoEFFN, top_k_routing
 
 __all__ = [
     "ring_attention",
     "shard_sequence",
+    "MoEFFN",
+    "top_k_routing",
     "cross_entropy",
     "focal_loss",
     "label_smoothing_cross_entropy",
