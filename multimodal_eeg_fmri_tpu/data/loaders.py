@@ -62,7 +62,18 @@ def load_eeg_labels(label_dir: str | Path, binary: bool = True) -> Dict[int, int
 
 
 def _first_mat_array(path: str) -> Optional[np.ndarray]:
-    """First non-metadata variable of a classic .mat file, float32."""
+    """First non-metadata variable of a classic .mat file, float32.
+
+    Native fast path first (native/fastio.cpp `fio_read_mat`: mmap + zlib,
+    no per-file Python overhead — the EEG ingest is thousands of small
+    files, reference ``eeg_data_utils.py:46-119``); scipy covers whatever
+    the native parser declines (v7.3/HDF5, sparse/struct/complex, …)."""
+    from . import native_io
+
+    native = native_io.read_mat_f32(path)
+    if native is not None:
+        return native
+
     from scipy.io import loadmat
 
     mat = loadmat(path)

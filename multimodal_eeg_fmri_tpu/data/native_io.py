@@ -58,6 +58,17 @@ def _load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int]
+        lib.fio_read_mat.restype = ctypes.c_int64
+        lib.fio_read_mat.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.fio_read_mat_batch.restype = ctypes.c_int64
+        lib.fio_read_mat_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         _LIB = lib
     except OSError as e:
         logger.info("failed to load libfastio (%s); using numpy path", e)
@@ -148,6 +159,77 @@ def read_f32_binary(path: str | Path,
     if n < 0:
         return None
     return arena[:n].copy()
+
+
+_MAT_MAX_DIMS = 8
+
+
+def read_mat_f32(path: str | Path,
+                 max_elems: int = 1 << 22) -> Optional[np.ndarray]:
+    """First variable of a classic MAT v5 file as float32 (MATLAB shape,
+    NaN→0) — the native form of ``loaders._first_mat_array``. Returns None
+    whenever the native parser declines (library missing, v7.3/HDF5 file,
+    big-endian, sparse/struct/cell/complex first variable, arena overflow);
+    the caller falls back to scipy/h5py, so coverage never narrows."""
+    lib = _load_library()
+    if lib is None:
+        return None
+    arena = np.empty(max_elems, np.float32)
+    dims = np.zeros(_MAT_MAX_DIMS, np.int64)
+    ndims = ctypes.c_int64(0)
+    n = lib.fio_read_mat(
+        str(path).encode(),
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_elems,
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _MAT_MAX_DIMS,
+        ctypes.byref(ndims))
+    if n < 0:
+        return None
+    shape = tuple(int(d) for d in dims[: ndims.value])
+    return arena[:n].reshape(shape, order="F").copy()
+
+
+def read_mat_batch(
+    paths: Sequence[str | Path],
+    max_elems_per_file: int = 1 << 20,
+    n_threads: int = 8,
+) -> List[Optional[np.ndarray]]:
+    """Parse many MAT v5 files on the native thread pool; per-file arrays
+    (MATLAB shape, float32, NaN→0) or None where the parser declined."""
+    lib = _load_library()
+    if lib is None:
+        return [None] * len(paths)
+    n = len(paths)
+    # Size the arena from the files (same lesson as read_csv_batch: idle
+    # arena pages cost more than parsing). A MAT element needs ≥1 byte of
+    # file (int8 storage compression), so file bytes bound the elements.
+    try:
+        max_bytes = max(Path(p).stat().st_size for p in paths)
+        stride = min(max_elems_per_file, max(1024, max_bytes + 64))
+    except OSError:
+        stride = max_elems_per_file
+    arena = np.empty(n * stride, np.float32)
+    elems = np.zeros(n, np.int64)
+    dims = np.zeros(n * _MAT_MAX_DIMS, np.int64)
+    ndims = np.zeros(n, np.int64)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.fio_read_mat_batch(
+        c_paths, n,
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), stride,
+        elems.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _MAT_MAX_DIMS,
+        ndims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads)
+    out: List[Optional[np.ndarray]] = []
+    for i in range(n):
+        if elems[i] < 0:
+            out.append(None)
+            continue
+        shape = tuple(
+            int(d) for d in dims[i * _MAT_MAX_DIMS:
+                                 i * _MAT_MAX_DIMS + int(ndims[i])])
+        k = int(elems[i])
+        out.append(arena[i * stride: i * stride + k]
+                   .reshape(shape, order="F").copy())
+    return out
 
 
 def _numpy_csv(path) -> Optional[np.ndarray]:

@@ -151,6 +151,223 @@ int64_t parse_csv(const char* buf, size_t n, float* out, int64_t max_elems,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// MAT v5 ("classic" MATLAB) parser — the EEG feature files.
+//
+// The reference ingests thousands of small per-subject .mat files
+// (EEG_CODE/eeg_data_utils.py:46-119: conn_*.mat / powspctrm_*.mat) through
+// scipy.io.loadmat, whose per-file Python overhead dominates at this file
+// count exactly like pandas did for the fMRI CSVs. This parser reads the
+// FIRST variable of a little-endian MAT v5 file — matching the loaders'
+// `_first_mat_array` contract (data/loaders.py) — straight from the mmap
+// into a caller float32 arena, inflating miCOMPRESSED variables with zlib.
+// Anything it does not fully support (v7.3/HDF5 files, big-endian, sparse/
+// struct/cell/char/complex first variable) returns a sentinel and the
+// Python side falls back to scipy/h5py, so behavior never degrades.
+//
+// Values are written in file order (MATLAB column-major); the binding
+// reshapes with order='F'. NaNs scrub to 0.0f (reference np.nan_to_num
+// policy, same as the CSV path).
+
+#include <zlib.h>
+
+namespace {
+
+// miTYPE codes (MAT v5 spec, table 1-1)
+enum : uint32_t {
+  miINT8 = 1, miUINT8 = 2, miINT16 = 3, miUINT16 = 4, miINT32 = 5,
+  miUINT32 = 6, miSINGLE = 7, miDOUBLE = 9, miINT64 = 12, miUINT64 = 13,
+  miMATRIX = 14, miCOMPRESSED = 15,
+};
+
+// mxCLASS codes (table 1-3); 6..15 are the numeric classes
+enum : uint32_t { mxDOUBLE_CLASS = 6, mxUINT64_CLASS = 15 };
+
+struct Elem {
+  uint32_t type = 0;
+  uint32_t nbytes = 0;
+  const char* data = nullptr;  // nbytes of payload
+  const char* next = nullptr;  // following element (8-byte aligned)
+};
+
+// Reads one data-element tag at p. Handles the small-element format
+// (nbytes packed in the tag's upper 16 bits, payload in the same 8 bytes).
+bool read_elem(const char* p, const char* end, Elem* e) {
+  if (p + 8 > end) return false;
+  uint32_t type_word, nbytes;
+  memcpy(&type_word, p, 4);
+  if (type_word >> 16) {  // small element
+    e->type = type_word & 0xFFFF;
+    e->nbytes = type_word >> 16;
+    if (e->nbytes > 4) return false;
+    e->data = p + 4;
+    e->next = p + 8;
+    return true;
+  }
+  memcpy(&nbytes, p + 4, 4);
+  e->type = type_word;
+  e->nbytes = nbytes;
+  e->data = p + 8;
+  size_t padded = (static_cast<size_t>(nbytes) + 7) & ~size_t{7};
+  if (e->data + nbytes > end) return false;
+  e->next = e->data + padded;
+  if (e->next > end) e->next = end;  // final element may omit pad bytes
+  return true;
+}
+
+// Converts n source values of miTYPE `type` to float32 with NaN→0.
+// Returns false on an unsupported source type.
+bool convert_to_f32(uint32_t type, const char* src, size_t src_bytes,
+                    float* out, int64_t max_elems, int64_t* n_out) {
+  auto emit = [&](auto get, size_t elem_size) {
+    int64_t n = static_cast<int64_t>(src_bytes / elem_size);
+    int64_t m = std::min(n, max_elems);
+    for (int64_t i = 0; i < m; i++) {
+      float v = get(src + i * elem_size);
+      out[i] = (v != v) ? 0.0f : v;
+    }
+    *n_out = n;
+  };
+  switch (type) {
+    case miDOUBLE:
+      emit([](const char* p) { double d; memcpy(&d, p, 8);
+                               return static_cast<float>(d); }, 8);
+      return true;
+    case miSINGLE:
+      emit([](const char* p) { float f; memcpy(&f, p, 4); return f; }, 4);
+      return true;
+    case miINT8:
+      emit([](const char* p) { int8_t v; memcpy(&v, p, 1);
+                               return static_cast<float>(v); }, 1);
+      return true;
+    case miUINT8:
+      emit([](const char* p) { uint8_t v; memcpy(&v, p, 1);
+                               return static_cast<float>(v); }, 1);
+      return true;
+    case miINT16:
+      emit([](const char* p) { int16_t v; memcpy(&v, p, 2);
+                               return static_cast<float>(v); }, 2);
+      return true;
+    case miUINT16:
+      emit([](const char* p) { uint16_t v; memcpy(&v, p, 2);
+                               return static_cast<float>(v); }, 2);
+      return true;
+    case miINT32:
+      emit([](const char* p) { int32_t v; memcpy(&v, p, 4);
+                               return static_cast<float>(v); }, 4);
+      return true;
+    case miUINT32:
+      emit([](const char* p) { uint32_t v; memcpy(&v, p, 4);
+                               return static_cast<float>(v); }, 4);
+      return true;
+    case miINT64:
+      emit([](const char* p) { int64_t v; memcpy(&v, p, 8);
+                               return static_cast<float>(v); }, 8);
+      return true;
+    case miUINT64:
+      emit([](const char* p) { uint64_t v; memcpy(&v, p, 8);
+                               return static_cast<float>(v); }, 8);
+      return true;
+    default:
+      return false;
+  }
+}
+
+// Parses one miMATRIX payload. Returns elements written (truncated at
+// max_elems → negative count), or -2 when the matrix class is unsupported
+// (sparse/cell/struct/char/complex) so the caller can fall back to scipy.
+int64_t parse_matrix(const char* p, const char* end, float* out,
+                     int64_t max_elems, int64_t* dims, int64_t max_dims,
+                     int64_t* ndims_out) {
+  Elem flags, dim_el, name_el, data_el;
+  if (!read_elem(p, end, &flags) || flags.type != miUINT32 ||
+      flags.nbytes < 8)
+    return -2;
+  uint32_t flags_word;
+  memcpy(&flags_word, flags.data, 4);
+  uint32_t cls = flags_word & 0xFF;
+  bool is_complex = (flags_word & 0x0800) != 0;
+  if (cls < mxDOUBLE_CLASS || cls > mxUINT64_CLASS || is_complex) return -2;
+
+  if (!read_elem(flags.next, end, &dim_el) || dim_el.type != miINT32)
+    return -2;
+  int64_t ndims = dim_el.nbytes / 4;
+  *ndims_out = ndims;
+  if (ndims > max_dims) return -2;
+  int64_t total = 1;
+  for (int64_t i = 0; i < ndims; i++) {
+    int32_t d;
+    memcpy(&d, dim_el.data + i * 4, 4);
+    dims[i] = d;
+    total *= d;
+  }
+  if (!read_elem(dim_el.next, end, &name_el))  // array name: skip
+    return -2;
+  if (!read_elem(name_el.next, end, &data_el))  // pr (real part)
+    return -2;
+  int64_t n = 0;
+  if (!convert_to_f32(data_el.type, data_el.data, data_el.nbytes, out,
+                      max_elems, &n))
+    return -2;
+  if (n != total) return -2;  // storage-compression mismatch we don't expect
+  return n <= max_elems ? n : -n;
+}
+
+// Finds and parses the FIRST variable (top-level miMATRIX, inflating
+// miCOMPRESSED wrappers) of a MAT v5 buffer.
+int64_t parse_mat_buffer(const char* buf, size_t n, float* out,
+                         int64_t max_elems, int64_t* dims, int64_t max_dims,
+                         int64_t* ndims_out) {
+  if (n < 128 + 8) return -1;
+  if (memcmp(buf, "MATLAB 5.0", 10) != 0) return -2;  // v7.3 is HDF5
+  if (!(buf[126] == 'I' && buf[127] == 'M')) return -2;  // big-endian file
+  const char* p = buf + 128;
+  const char* end = buf + n;
+  while (p + 8 <= end) {
+    Elem e;
+    if (!read_elem(p, end, &e)) return -2;
+    if (e.type == miMATRIX) {
+      return parse_matrix(e.data, e.data + e.nbytes, out, max_elems, dims,
+                          max_dims, ndims_out);
+    }
+    if (e.type == miCOMPRESSED) {
+      // Inflate, then the inflated stream is exactly one element.
+      std::vector<char> inflated(static_cast<size_t>(e.nbytes) * 4 + 1024);
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit(&zs) != Z_OK) return -2;
+      zs.next_in =
+          reinterpret_cast<Bytef*>(const_cast<char*>(e.data));
+      zs.avail_in = e.nbytes;
+      int rc;
+      for (;;) {
+        zs.next_out = reinterpret_cast<Bytef*>(inflated.data()) +
+                      zs.total_out;
+        zs.avail_out = static_cast<uInt>(inflated.size() - zs.total_out);
+        rc = inflate(&zs, Z_NO_FLUSH);
+        if (rc == Z_STREAM_END) break;
+        if (rc != Z_OK) { inflateEnd(&zs); return -2; }
+        if (zs.avail_out == 0) inflated.resize(inflated.size() * 2);
+      }
+      size_t out_len = zs.total_out;
+      inflateEnd(&zs);
+      Elem inner;
+      if (!read_elem(inflated.data(), inflated.data() + out_len, &inner))
+        return -2;
+      if (inner.type == miMATRIX) {
+        return parse_matrix(inner.data, inner.data + inner.nbytes, out,
+                            max_elems, dims, max_dims, ndims_out);
+      }
+      // Not a matrix (rare): treat as "first variable unsupported".
+      return -2;
+    }
+    p = e.next;  // skip non-variable element
+  }
+  return -2;  // no variable found
+}
+
+}  // namespace
+
 extern "C" {
 
 // Read a raw float32 binary file into out. Returns elements read, or -1.
@@ -198,6 +415,47 @@ int64_t fio_read_csv_batch(const char** paths, int64_t n_files, float* out,
   // ctypes-calling thread is pathologically slow under some sandboxed
   // Python runtimes (observed 100x here), while worker threads run at
   // full speed. At least 2 workers even on 1-CPU hosts.
+  int64_t hw = static_cast<int64_t>(std::thread::hardware_concurrency());
+  int64_t t = std::max<int64_t>(2, std::min<int64_t>(n_threads, hw));
+  std::vector<std::thread> pool;
+  pool.reserve(static_cast<size_t>(t));
+  for (int64_t i = 0; i < t; i++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok.load();
+}
+
+// Read the first variable of a classic little-endian MAT v5 file into out
+// (float32, file/column-major order, NaN→0). dims[0..max_dims) and *ndims
+// receive the MATLAB shape. Returns elements written, negative count on
+// arena overflow, -1 on open failure, -2 on unsupported format/content
+// (v7.3 HDF5, big-endian, sparse/struct/cell/char/complex first variable)
+// — the binding falls back to scipy/h5py on any negative return.
+int64_t fio_read_mat(const char* path, float* out, int64_t max_elems,
+                     int64_t* dims, int64_t max_dims, int64_t* ndims) {
+  MappedFile mf;
+  if (!mf.open(path)) return -1;
+  return parse_mat_buffer(mf.data, mf.size, out, max_elems, dims, max_dims,
+                          ndims);
+}
+
+// Batch form: n_files MAT files on a thread pool, file i into the arena
+// slice out + i*stride. elems[i] receives fio_read_mat's return for file i;
+// dims is n_files × max_dims. Returns files parsed OK.
+int64_t fio_read_mat_batch(const char** paths, int64_t n_files, float* out,
+                           int64_t stride, int64_t* elems, int64_t* dims,
+                           int64_t max_dims, int64_t* ndims,
+                           int64_t n_threads) {
+  std::atomic<int64_t> next(0), ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_files) return;
+      elems[i] = fio_read_mat(paths[i], out + i * stride, stride,
+                              dims + i * max_dims, max_dims, &ndims[i]);
+      if (elems[i] >= 0) ok.fetch_add(1);
+    }
+  };
+  // Same rationale as fio_read_csv_batch: never parse on the ctypes thread.
   int64_t hw = static_cast<int64_t>(std::thread::hardware_concurrency());
   int64_t t = std::max<int64_t>(2, std::min<int64_t>(n_threads, hw));
   std::vector<std::thread> pool;

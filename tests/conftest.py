@@ -19,6 +19,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is compile-dominated (~60 min, mostly XLA CPU compiles of the
+# mesh/scan graphs). Persist compiles ≥1 s (jax's default threshold — the
+# cheap ones aren't worth the disk round trip on CPU) so repeat runs skip
+# them. Opt out with MMEF_NO_TEST_CACHE=1.
+if os.environ.get("MMEF_NO_TEST_CACHE") != "1":
+    _cache = os.path.join(os.path.dirname(__file__), ".xla_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+
 import numpy as np
 import pytest
 

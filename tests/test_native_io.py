@@ -95,3 +95,147 @@ def test_read_f32_binary(tmp_path):
     arr.tofile(p)
     got = native_io.read_f32_binary(p)
     np.testing.assert_array_equal(got, arr)
+
+
+# ---------------------------------------------------------------------------
+# MAT v5 parser (fio_read_mat) vs the scipy oracle
+# ---------------------------------------------------------------------------
+
+def _scipy_first(path):
+    """The loaders' scipy contract (`loaders._first_mat_array`)."""
+    from scipy.io import loadmat
+
+    mat = loadmat(str(path))
+    for k, v in mat.items():
+        if not k.startswith("_"):
+            return np.nan_to_num(np.asarray(v, np.float32), nan=0.0)
+    return None
+
+
+@pytest.fixture(scope="module")
+def mat_files(tmp_path_factory):
+    from scipy.io import savemat
+
+    d = tmp_path_factory.mktemp("mat")
+    r = np.random.default_rng(7)
+    nan2d = r.standard_normal((6, 9))
+    nan2d[r.random((6, 9)) < 0.25] = np.nan
+    cases = {
+        "conn_f64": r.standard_normal((18, 18)),          # conn matrix shape
+        "pw_f64": r.standard_normal((75, 300)),           # powspctrm shape
+        "vec": r.standard_normal(459),
+        "f32": r.standard_normal((11, 5)).astype(np.float32),
+        "i16": r.integers(-500, 500, (9, 4)).astype(np.int16),
+        "u8_3d": r.integers(0, 255, (3, 5, 4)).astype(np.uint8),
+        "nan": nan2d,
+        "scalar": np.float64(3.5),
+        "empty": np.zeros((0, 0)),
+        # integer-valued doubles: scipy stores these with MATLAB "storage
+        # compression" (mxDOUBLE class, miINT8 data stream)
+        "storage_compressed": np.arange(24.0).reshape(4, 6),
+    }
+    paths, oracles = [], []
+    for name, arr in cases.items():
+        for comp in (False, True):
+            p = d / f"{name}_{int(comp)}.mat"
+            savemat(str(p), {"x": arr}, do_compression=comp)
+            paths.append(p)
+            oracles.append(_scipy_first(p))
+    return paths, oracles
+
+
+def test_read_mat_matches_scipy(mat_files):
+    """Value + shape + order parity on every dtype/shape/compression combo
+    (non-square 2D and 3D cases catch any column-major mix-up)."""
+    paths, oracles = mat_files
+    for p, expected in zip(paths, oracles):
+        got = native_io.read_mat_f32(p)
+        assert got is not None, p
+        assert got.shape == expected.shape, p
+        np.testing.assert_array_equal(got, expected, err_msg=str(p))
+
+
+def test_read_mat_batch_parallel(mat_files, tmp_path):
+    paths, oracles = mat_files
+    mixed = list(paths) + [tmp_path / "missing.mat"]
+    results = native_io.read_mat_batch(mixed, n_threads=4)
+    assert results[-1] is None
+    for p, got, expected in zip(paths, results, oracles):
+        assert got is not None, p
+        np.testing.assert_array_equal(got, expected, err_msg=str(p))
+
+
+def test_read_mat_first_variable_wins(tmp_path):
+    from scipy.io import savemat
+
+    p = tmp_path / "multi.mat"
+    savemat(str(p), {"a": np.full((2, 3), 5.0), "b": np.zeros((4, 4))})
+    got = native_io.read_mat_f32(p)
+    np.testing.assert_array_equal(got, np.full((2, 3), 5.0, np.float32))
+
+
+def test_read_mat_declines_unsupported(tmp_path):
+    """Struct-first and HDF5 (v7.3) files return None → scipy/h5py path."""
+    import h5py
+    from scipy.io import savemat
+
+    ps = tmp_path / "struct.mat"
+    savemat(str(ps), {"s": {"field": np.ones(3)}})
+    assert native_io.read_mat_f32(ps) is None
+
+    ph = tmp_path / "v73.mat"
+    with h5py.File(ph, "w") as f:
+        f["x"] = np.ones(4)
+    assert native_io.read_mat_f32(ph) is None
+
+    assert native_io.read_mat_f32(tmp_path / "nope.mat") is None
+
+
+def test_read_mat_arena_overflow_declines(tmp_path):
+    from scipy.io import savemat
+
+    p = tmp_path / "big.mat"
+    savemat(str(p), {"x": np.ones((64, 64))})
+    assert native_io.read_mat_f32(p, max_elems=100) is None
+    assert native_io.read_mat_f32(p, max_elems=64 * 64) is not None
+
+
+def test_loader_first_mat_array_uses_native(tmp_path):
+    """`loaders._first_mat_array` (the EEG ingest entry) must agree with the
+    pure-scipy contract on both native-supported and fallback files."""
+    from scipy.io import savemat
+
+    from multimodal_eeg_fmri_tpu.data import loaders
+
+    r = np.random.default_rng(3)
+    pn = tmp_path / "native.mat"
+    savemat(str(pn), {"x": r.standard_normal((18, 18))}, do_compression=True)
+    np.testing.assert_array_equal(
+        loaders._first_mat_array(str(pn)), _scipy_first(pn))
+
+    # logical (mxUINT8 + logical flag) still parses as numeric on both paths
+    pl = tmp_path / "logical.mat"
+    savemat(str(pl), {"x": r.random((4, 4)) > 0.5})
+    np.testing.assert_array_equal(
+        loaders._first_mat_array(str(pl)), _scipy_first(pl))
+
+
+def test_read_mat_fuzz_random_shapes(tmp_path):
+    """Randomized shapes/dtypes/compression: native == scipy everywhere the
+    native parser accepts (and it must accept all of these)."""
+    from scipy.io import savemat
+
+    r = np.random.default_rng(11)
+    dtypes = [np.float64, np.float32, np.int32, np.int8, np.uint16]
+    for i in range(20):
+        ndim = int(r.integers(1, 4))
+        shape = tuple(int(r.integers(1, 13)) for _ in range(ndim))
+        dt = dtypes[i % len(dtypes)]
+        arr = (r.standard_normal(shape) * 100).astype(dt)
+        p = tmp_path / f"fz{i}.mat"
+        savemat(str(p), {"x": arr}, do_compression=bool(i % 2))
+        got = native_io.read_mat_f32(p)
+        expected = _scipy_first(p)
+        assert got is not None, (i, shape, dt)
+        assert got.shape == expected.shape
+        np.testing.assert_array_equal(got, expected)
