@@ -23,6 +23,8 @@ def get_logger(
     log_dir: Optional[str] = None,
     level: int = logging.INFO,
 ) -> logging.Logger:
+    """Idempotent logger factory: console + optional per-run file handler
+    (reference ``EEG_CODE/config.py:83-94`` ``setup_logging``)."""
     logger = logging.getLogger(name)
     if logger.handlers:
         return logger
