@@ -19,6 +19,11 @@ from multimodal_eeg_fmri_tpu.parallel.collectives import (
     psum,
     all_gather,
 )
+from multimodal_eeg_fmri_tpu.parallel.input import (
+    global_batch_tree,
+    global_ensemble_tree,
+    process_fold_range,
+)
 from multimodal_eeg_fmri_tpu.parallel.distributed import (
     build_hybrid_mesh,
     initialize_distributed,
@@ -66,4 +71,7 @@ __all__ = [
     "pmean_grads",
     "psum",
     "all_gather",
+    "global_batch_tree",
+    "global_ensemble_tree",
+    "process_fold_range",
 ]
