@@ -1,13 +1,27 @@
-"""Metrics, statistical tests, exports."""
+"""Metrics, statistical tests, calibration, exports."""
 
 from multimodal_eeg_fmri_tpu.report.metrics import (
     binary_classification_metrics,
     regression_metrics,
     auc_roc,
 )
+from multimodal_eeg_fmri_tpu.report.calibration import (
+    brier_score,
+    expected_calibration_error,
+    fit_temperature,
+    optimal_threshold,
+    reliability_curve,
+    threshold_sweep,
+)
 
 __all__ = [
     "binary_classification_metrics",
     "regression_metrics",
     "auc_roc",
+    "brier_score",
+    "expected_calibration_error",
+    "fit_temperature",
+    "optimal_threshold",
+    "reliability_curve",
+    "threshold_sweep",
 ]
