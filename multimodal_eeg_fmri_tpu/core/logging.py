@@ -52,6 +52,7 @@ class MetricsLogger:
     def __init__(self):
         self._series: Dict[str, List[tuple]] = defaultdict(list)
         self._t0 = time.monotonic()
+        self._wall0 = time.time()  # wall-clock base for tensorboard export
 
     def log(self, step: int, **metrics: Any) -> None:
         t = time.monotonic() - self._t0
@@ -85,3 +86,37 @@ class MetricsLogger:
             for tag, rows in self._series.items():
                 for step, t, v in rows:
                     w.writerow([tag, step, f"{t:.4f}", float(v)])
+
+    def to_tensorboard(self, log_dir: str | Path) -> Optional[Path]:
+        """Export every series as TensorBoard scalar events under
+        ``log_dir`` (one events file; view with ``tensorboard --logdir``).
+
+        The reference has no experiment tracking beyond print/log lines;
+        this writes the standard format instead of inventing one. Imports
+        tensorboard lazily and returns None (with a warning) when it is
+        unavailable — the JSONL/CSV exports above carry the same data.
+        """
+        try:
+            from tensorboard.compat.proto.event_pb2 import Event
+            from tensorboard.compat.proto.summary_pb2 import Summary
+            from tensorboard.summary.writer.event_file_writer import (
+                EventFileWriter,
+            )
+        except Exception as e:  # pragma: no cover - env without tensorboard
+            logging.getLogger(__name__).warning(
+                "tensorboard unavailable (%s); use to_jsonl/to_csv", e)
+            return None
+        log_dir = Path(log_dir)
+        log_dir.mkdir(parents=True, exist_ok=True)
+        writer = EventFileWriter(str(log_dir))
+        try:
+            for tag, rows in self._series.items():
+                for step, t, v in rows:
+                    ev = Event(
+                        wall_time=self._wall0 + t, step=int(step),
+                        summary=Summary(value=[Summary.Value(
+                            tag=tag, simple_value=float(v))]))
+                    writer.add_event(ev)
+        finally:
+            writer.close()
+        return log_dir

@@ -110,6 +110,34 @@ def test_metrics_logger_roundtrip(tmp_path):
     assert [float(r["value"]) for r in loss_rows] == [1.0, 0.8]
 
 
+def test_metrics_logger_tensorboard_export(tmp_path):
+    """Events written by to_tensorboard must read back with tensorboard's
+    own loader: same tags, steps, and values."""
+    pytest.importorskip("tensorboard")
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader,
+    )
+
+    ml = MetricsLogger()
+    ml.log(0, loss=1.0, f1=0.5)
+    ml.log(1, loss=0.8, f1=0.6)
+    out = ml.to_tensorboard(tmp_path / "tb")
+    assert out is not None
+    files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert len(files) == 1
+
+    got = set()
+    for ev in EventFileLoader(str(files[0])).Load():
+        for val in ev.summary.value:
+            # the loader's data_compat pass migrates simple_value into a
+            # rank-0 tensor proto; accept either representation
+            x = (val.tensor.float_val[0] if val.tensor.float_val
+                 else val.simple_value)
+            got.add((val.tag, ev.step, round(x, 6)))
+    assert got == {("loss", 0, 1.0), ("loss", 1, 0.8),
+                   ("f1", 0, 0.5), ("f1", 1, 0.6)}
+
+
 # --- montage --------------------------------------------------------------
 
 def test_montage_tables_consistent():
