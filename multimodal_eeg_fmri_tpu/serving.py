@@ -40,9 +40,13 @@ class Predictor:
         batch_size: int = 8,
         preprocess: Optional[Callable] = None,
         return_probs: bool = True,
+        temperature: Optional[float] = None,
     ):
         self.model = model
         self.batch_size = batch_size
+        self.temperature = float(temperature) if temperature else None
+        self._preprocess = preprocess
+        self._return_probs = return_probs
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -51,9 +55,14 @@ class Predictor:
             if preprocess is not None:
                 inputs = {**inputs, **preprocess(inputs)}
             out = model.apply(variables, **inputs, train=False)
-            logits = out.logits
+            logits = out.logits.astype(jnp.float32)
+            if self.temperature is not None:
+                # temperature scaling (report/calibration.fit_temperature)
+                # baked into the compiled forward — and therefore into any
+                # exported StableHLO artifact
+                logits = logits / jnp.float32(self.temperature)
             if return_probs:
-                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return jax.nn.softmax(logits, axis=-1)
             return logits
 
         self._variables = variables
@@ -77,6 +86,42 @@ class Predictor:
         restored = load_quantized(path)
         return cls(model, restored["params"],
                    restored.get("batch_stats"), **kw)
+
+    def calibrated(self, val_inputs: Dict[str, np.ndarray],
+                   val_labels: np.ndarray,
+                   weights: Optional[np.ndarray] = None) -> "Predictor":
+        """Temperature-scale against held-out data (Guo et al. 2017).
+
+        Fits T minimizing validation NLL (report/calibration) on this
+        model's raw logits and returns a NEW Predictor whose compiled
+        forward — and any artifact it exports — serves ``softmax(z/T)``.
+        The reference ships raw softmax confidences
+        (`_test_bridge.py` prediction loops); for a clinical classifier the
+        calibrated form is the deployable one.
+        """
+        from multimodal_eeg_fmri_tpu.report.calibration import (
+            fit_temperature,
+        )
+
+        logits_fn = jax.jit(
+            lambda v, i: self.model.apply(v, **i, train=False).logits)
+        inputs = {k: v for k, v in val_inputs.items()
+                  if k not in RESERVED_KEYS}
+        chunks, logits = self._pad(inputs), []
+        for chunk, m in chunks:
+            dev = {k: jnp.asarray(v) for k, v in chunk.items()}
+            if self._preprocess is not None:
+                dev = {**dev, **self._preprocess(dev)}
+            logits.append(np.asarray(logits_fn(self._variables, dev))[:m])
+        t = float(fit_temperature(
+            jnp.asarray(np.concatenate(logits, axis=0)),
+            jnp.asarray(np.asarray(val_labels)),
+            weights=None if weights is None else jnp.asarray(weights)))
+        return Predictor(
+            self.model, self._variables["params"],
+            self._variables.get("batch_stats"),
+            batch_size=self.batch_size, preprocess=self._preprocess,
+            return_probs=self._return_probs, temperature=t)
 
     def _pad(self, inputs: Dict[str, np.ndarray]):
         n = len(next(iter(inputs.values())))

@@ -66,6 +66,34 @@ def test_predictor_with_preprocess(trained):
     assert stats["p50_ms"] > 0
 
 
+def test_predictor_calibrated(trained):
+    """`calibrated` must fit a finite positive T on held-out data, keep
+    every argmax decision (temperature is monotone per row), apply
+    softmax(z/T) exactly, and not worsen validation NLL."""
+    model, variables, data = trained
+    p = Predictor(model, variables["params"], variables.get("batch_stats"),
+                  batch_size=8)
+    labels = np.asarray(data["label"], np.int32)
+    val = {"eeg": data["eeg"], "fmri": data["fmri"]}
+    pc = p.calibrated(val, labels)
+    assert pc.temperature is not None and 0.01 < pc.temperature < 60.0
+
+    raw, cal = p(**val), pc(**val)
+    assert np.array_equal(raw.argmax(-1), cal.argmax(-1))
+    # exact softmax(z/T) semantics
+    logits = np.asarray(model.apply(
+        variables, eeg=jnp.asarray(data["eeg"]),
+        fmri=jnp.asarray(data["fmri"]), train=False).logits)
+    expect = np.asarray(jax.nn.softmax(
+        jnp.asarray(logits, jnp.float32) / pc.temperature, -1))
+    np.testing.assert_allclose(cal, expect, rtol=2e-4, atol=2e-5)
+
+    def nll(probs):
+        return -np.mean(np.log(probs[np.arange(len(labels)), labels] + 1e-9))
+
+    assert nll(cal) <= nll(raw) + 1e-6
+
+
 @pytest.fixture(scope="module")
 def fold_models(trained):
     """Four independently-initialized fold models (the reference's
