@@ -11,8 +11,14 @@ from multimodal_eeg_fmri_tpu.data.synthetic import (
     synthetic_fmri,
     synthetic_bridge,
 )
+from multimodal_eeg_fmri_tpu.data.streaming import (
+    make_streaming_featurizer,
+    stream_session,
+)
 
 __all__ = [
+    "make_streaming_featurizer",
+    "stream_session",
     "balanced_class_weights",
     "pad_rows",
     "stack_trees",
