@@ -9,6 +9,7 @@ from multimodal_eeg_fmri_tpu.report.calibration import (
     brier_score,
     expected_calibration_error,
     fit_temperature,
+    fit_temperature_ensemble,
     optimal_threshold,
     reliability_curve,
     threshold_sweep,
@@ -21,6 +22,7 @@ __all__ = [
     "brier_score",
     "expected_calibration_error",
     "fit_temperature",
+    "fit_temperature_ensemble",
     "optimal_threshold",
     "reliability_curve",
     "threshold_sweep",

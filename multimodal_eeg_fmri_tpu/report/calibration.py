@@ -118,9 +118,43 @@ def fit_temperature(
         picked = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         return -jnp.sum(w * picked) / wsum
 
+    return jnp.exp(_golden_min(nll, log_t_bound, n_steps))
+
+
+def fit_temperature_ensemble(
+    member_logits: jnp.ndarray,    # (K, N, C) one row of logits per member
+    labels: jnp.ndarray,           # (N,)
+    weights: Optional[jnp.ndarray] = None,
+    n_steps: int = 48,
+    log_t_bound: float = 4.0,
+) -> jnp.ndarray:
+    """Shared temperature for a late-fusion ensemble.
+
+    The ensemble probability is the MEAN of member softmaxes (the
+    reference's late fusion, `CrossModal_EEG_scr.ipynb §34`), so the
+    temperature must sit inside each member's softmax —
+    ``mean_k softmax(z_k / T)`` — and the NLL is not the plain softmax NLL
+    ``fit_temperature`` minimizes. Same bounded golden-section scaffold.
+    """
+    member_logits = member_logits.astype(jnp.float32)
+    w = _w(weights, member_logits.shape[1])
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+
+    def nll(u):
+        p = jax.nn.softmax(member_logits * jnp.exp(-u), axis=-1)
+        mean_p = jnp.mean(p, axis=0)                      # (N, C)
+        picked = jnp.take_along_axis(mean_p, labels[:, None], axis=-1)[:, 0]
+        return -jnp.sum(w * jnp.log(picked + 1e-9)) / wsum
+
+    return jnp.exp(_golden_min(nll, log_t_bound, n_steps))
+
+
+def _golden_min(f, bound: float, n_steps: int) -> jnp.ndarray:
+    """Golden-section minimum of scalar ``f`` over [−bound, bound] as a
+    fixed-length ``lax.scan`` (see fit_temperature for why not Newton)."""
     phi = 0.6180339887498949  # 1/golden ratio
-    lo0 = jnp.float32(-log_t_bound)
-    hi0 = jnp.float32(log_t_bound)
+    lo0 = jnp.float32(-bound)
+    hi0 = jnp.float32(bound)
     m10 = hi0 - phi * (hi0 - lo0)
     m20 = lo0 + phi * (hi0 - lo0)
 
@@ -131,12 +165,11 @@ def fit_temperature(
         hi_n = jnp.where(shrink_hi, m2, hi)
         m1_n = hi_n - phi * (hi_n - lo_n)
         m2_n = lo_n + phi * (hi_n - lo_n)
-        return (lo_n, m1_n, m2_n, hi_n, nll(m1_n), nll(m2_n)), None
+        return (lo_n, m1_n, m2_n, hi_n, f(m1_n), f(m2_n)), None
 
-    init = (lo0, m10, m20, hi0, nll(m10), nll(m20))
-    (lo, m1, m2, hi, _, _), _ = jax.lax.scan(step, init, None,
-                                             length=n_steps)
-    return jnp.exp((lo + hi) / 2.0)
+    init = (lo0, m10, m20, hi0, f(m10), f(m20))
+    (lo, _, _, hi, _, _), _ = jax.lax.scan(step, init, None, length=n_steps)
+    return (lo + hi) / 2.0
 
 
 def threshold_sweep(

@@ -266,12 +266,16 @@ class EnsemblePredictor:
         batch_size: int = 8,
         preprocess: Optional[Callable] = None,
         reduce: str = "mean_probs",
+        temperature: Optional[float] = None,
     ):
         if reduce not in ("mean_probs", "none"):
             raise ValueError(f"unknown reduce={reduce!r}")
         self.model = model
         self.batch_size = batch_size
         self.reduce = reduce
+        self.temperature = float(temperature) if temperature else None
+        self._plan = plan
+        self._preprocess = preprocess
         variables = {"params": stacked_params}
         if stacked_batch_stats is not None:
             variables["batch_stats"] = stacked_batch_stats
@@ -295,7 +299,13 @@ class EnsemblePredictor:
 
         def _member_forward(variables, inputs):
             out = model.apply(variables, **inputs, train=False)
-            return jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
+            logits = out.logits.astype(jnp.float32)
+            if self.temperature is not None:
+                # shared ensemble temperature (fit_temperature_ensemble):
+                # scaling must happen INSIDE each member's softmax because
+                # the fusion averages probabilities, not logits
+                logits = logits / jnp.float32(self.temperature)
+            return jax.nn.softmax(logits, axis=-1)
 
         if plan is not None:
             # member axis as manual SPMD: each ensemble group serves its
@@ -338,6 +348,49 @@ class EnsemblePredictor:
     # the K-model late-fusion forward serializes the same way as the
     # single-model one: weights baked in, one self-contained file
     export_artifact = Predictor.export_artifact
+
+    def calibrated(self, val_inputs: Dict[str, np.ndarray],
+                   val_labels: np.ndarray,
+                   weights: Optional[np.ndarray] = None
+                   ) -> "EnsemblePredictor":
+        """Shared-temperature calibration of the late fusion.
+
+        Fits one T on the stacked member logits
+        (report/calibration.fit_temperature_ensemble — the scaling sits
+        inside each member's softmax since the fusion averages
+        probabilities) and returns a new EnsemblePredictor serving the
+        calibrated mean. Member order, argmax of each member, and the
+        members' probability RANKING are unchanged; the averaged
+        confidence becomes honest.
+        """
+        from multimodal_eeg_fmri_tpu.report.calibration import (
+            fit_temperature_ensemble,
+        )
+
+        logits_fn = jax.jit(jax.vmap(
+            lambda v, i: self.model.apply(v, **i, train=False).logits,
+            in_axes=(0, None)))
+        # calibration is a one-time host-side fit: gather the (possibly
+        # ensemble-sharded) variables to the default device first
+        host_vars = jax.tree_util.tree_map(np.asarray, self._variables)
+        inputs = {k: v for k, v in val_inputs.items()
+                  if k not in RESERVED_KEYS}
+        chunks, logits = Predictor._pad(self, inputs), []
+        for chunk, m in chunks:
+            dev = {k: jnp.asarray(v) for k, v in chunk.items()}
+            if self._preprocess is not None:
+                dev = {**dev, **self._preprocess(dev)}
+            logits.append(np.asarray(
+                logits_fn(jax.tree_util.tree_map(jnp.asarray, host_vars),
+                          dev))[:, :m])
+        t = float(fit_temperature_ensemble(
+            jnp.asarray(np.concatenate(logits, axis=1)),
+            jnp.asarray(np.asarray(val_labels)),
+            weights=None if weights is None else jnp.asarray(weights)))
+        return EnsemblePredictor(
+            self.model, host_vars["params"], host_vars.get("batch_stats"),
+            plan=self._plan, batch_size=self.batch_size,
+            preprocess=self._preprocess, reduce=self.reduce, temperature=t)
 
     def __call__(self, **inputs) -> np.ndarray:
         inputs = {k: v for k, v in inputs.items() if k not in RESERVED_KEYS}

@@ -128,6 +128,22 @@ def test_temperature_degenerate_separable_sharpens():
     assert T < 0.05, T  # sharpen (lower bound), never explode
 
 
+def test_temperature_ensemble_reduces_to_single(binary_probs):
+    """K identical members: the ensemble fit must equal the plain fit."""
+    from multimodal_eeg_fmri_tpu.report.calibration import (
+        fit_temperature_ensemble,
+    )
+
+    probs, labels = binary_probs
+    p = np.clip(probs.astype(np.float64), 1e-7, 1 - 1e-7)
+    logit = (np.log(p) - np.log1p(-p)).astype(np.float32)
+    logits = np.stack([np.zeros_like(logit), logit], -1) * 3.0
+    t1 = float(fit_temperature(jnp.asarray(logits), jnp.asarray(labels)))
+    tk = float(fit_temperature_ensemble(
+        jnp.asarray(np.stack([logits] * 3)), jnp.asarray(labels)))
+    assert abs(t1 - tk) / t1 < 1e-3
+
+
 def test_threshold_sweep_matches_bruteforce(binary_probs):
     probs, labels = binary_probs
     ts = np.linspace(0, 1, 21).astype(np.float32)

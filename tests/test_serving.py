@@ -139,6 +139,32 @@ def test_ensemble_per_member_and_mesh_sharded(fold_models):
                                atol=2e-5)
 
 
+def test_ensemble_calibrated(fold_models):
+    """Shared-T late fusion: exact mean-softmax(z/T) semantics, val NLL
+    not worse than the uncalibrated ensemble."""
+    model, member_vars, stacked, data = fold_models
+    labels = np.asarray(data["label"], np.int32)
+    val = {"eeg": data["eeg"], "fmri": data["fmri"]}
+    ens = EnsemblePredictor(model, stacked, batch_size=8)
+    cal = ens.calibrated(val, labels)
+    assert cal.temperature is not None and 0.01 < cal.temperature < 60.0
+
+    member_logits = np.stack([
+        np.asarray(model.apply(v, eeg=jnp.asarray(data["eeg"]),
+                               fmri=jnp.asarray(data["fmri"]),
+                               train=False).logits)
+        for v in member_vars])
+    expect = np.asarray(jax.nn.softmax(
+        jnp.asarray(member_logits, jnp.float32) / cal.temperature,
+        -1)).mean(0)
+    np.testing.assert_allclose(cal(**val), expect, rtol=2e-4, atol=2e-5)
+
+    def nll(probs):
+        return -np.mean(np.log(probs[np.arange(len(labels)), labels] + 1e-9))
+
+    assert nll(cal(**val)) <= nll(ens(**val)) + 1e-6
+
+
 def test_ensemble_from_checkpoints(fold_models, tmp_path):
     model, member_vars, stacked, data = fold_models
     paths = []
