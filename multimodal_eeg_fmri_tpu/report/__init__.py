@@ -5,6 +5,11 @@ from multimodal_eeg_fmri_tpu.report.metrics import (
     regression_metrics,
     auc_roc,
 )
+from multimodal_eeg_fmri_tpu.report.drift import (
+    cusum_step,
+    ewma_step,
+    make_drift_monitor,
+)
 from multimodal_eeg_fmri_tpu.report.calibration import (
     brier_score,
     expected_calibration_error,
@@ -26,4 +31,7 @@ __all__ = [
     "optimal_threshold",
     "reliability_curve",
     "threshold_sweep",
+    "cusum_step",
+    "ewma_step",
+    "make_drift_monitor",
 ]
