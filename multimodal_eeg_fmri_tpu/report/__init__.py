@@ -5,6 +5,11 @@ from multimodal_eeg_fmri_tpu.report.metrics import (
     regression_metrics,
     auc_roc,
 )
+from multimodal_eeg_fmri_tpu.report.conformal import (
+    conformal_calibrate,
+    conformal_sets,
+    coverage_and_size,
+)
 from multimodal_eeg_fmri_tpu.report.drift import (
     cusum_step,
     ewma_step,
@@ -34,4 +39,7 @@ __all__ = [
     "cusum_step",
     "ewma_step",
     "make_drift_monitor",
+    "conformal_calibrate",
+    "conformal_sets",
+    "coverage_and_size",
 ]

@@ -1,0 +1,108 @@
+"""Split-conformal sets: finite-sample coverage, NumPy quantile oracle,
+padding invariance, miscalibration robustness."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodal_eeg_fmri_tpu.report.conformal import (
+    conformal_calibrate,
+    conformal_sets,
+    coverage_and_size,
+)
+
+
+def _sample_task(r, n, n_classes=3, sharpen=1.0):
+    """Probabilities + labels DRAWN FROM those probabilities (honest model
+    unless sharpen != 1, which miscalibrates the reported probs)."""
+    logits = r.standard_normal((n, n_classes)) * 1.5
+    true_p = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    labels = np.array([r.choice(n_classes, p=p) for p in true_p])
+    rep = np.exp(logits * sharpen)
+    rep = rep / rep.sum(-1, keepdims=True)
+    return rep.astype(np.float32), labels.astype(np.int32)
+
+
+@pytest.mark.parametrize("method", ["lac", "aps"])
+def test_marginal_coverage(method):
+    """Mean coverage over repeated splits ≥ 1−α (and not wildly above)."""
+    r = np.random.default_rng(0)
+    alpha, covs, sizes = 0.1, [], []
+    for _ in range(40):
+        p_cal, y_cal = _sample_task(r, 200)
+        p_test, y_test = _sample_task(r, 200)
+        q = conformal_calibrate(jnp.asarray(p_cal), jnp.asarray(y_cal),
+                                alpha=alpha, method=method)
+        sets = conformal_sets(jnp.asarray(p_test), q, method=method)
+        cov, size = coverage_and_size(sets, jnp.asarray(y_test))
+        covs.append(float(cov))
+        sizes.append(float(size))
+    mean_cov = np.mean(covs)
+    assert mean_cov >= 1 - alpha - 0.01, (method, mean_cov)
+    assert mean_cov <= 1 - alpha + 0.06, (method, mean_cov)  # not vacuous
+    assert 1.0 <= np.mean(sizes) < 3.0  # informative sets on 3 classes
+
+
+def test_coverage_survives_miscalibration():
+    """Overconfident reported probabilities: calibration-free guarantees
+    break, the conformal guarantee must not."""
+    r = np.random.default_rng(1)
+    alpha, covs = 0.1, []
+    for _ in range(40):
+        p_cal, y_cal = _sample_task(r, 200, sharpen=3.0)
+        p_test, y_test = _sample_task(r, 200, sharpen=3.0)
+        q = conformal_calibrate(jnp.asarray(p_cal), jnp.asarray(y_cal),
+                                alpha=alpha, method="lac")
+        sets = conformal_sets(jnp.asarray(p_test), q, method="lac")
+        cov, _ = coverage_and_size(sets, jnp.asarray(y_test))
+        covs.append(float(cov))
+    assert np.mean(covs) >= 1 - alpha - 0.01
+    # naive top-1 of the overconfident model under-covers badly (the
+    # failure conformal fixes): argmax accuracy is well below 90%
+    acc = np.mean(p_test.argmax(-1) == y_test)
+    assert acc < 1 - alpha - 0.05
+
+
+def test_qhat_matches_numpy_oracle():
+    r = np.random.default_rng(2)
+    p, y = _sample_task(r, 73)
+    alpha = 0.17
+    q = float(conformal_calibrate(jnp.asarray(p), jnp.asarray(y),
+                                  alpha=alpha, method="lac"))
+    scores = 1.0 - p[np.arange(len(y)), y]
+    n = len(y)
+    rank = min(int(np.ceil((n + 1) * (1 - alpha))), n)
+    ref = np.sort(scores)[rank - 1]
+    assert abs(q - ref) < 1e-6
+
+
+def test_padding_mask_invariance():
+    r = np.random.default_rng(3)
+    p, y = _sample_task(r, 100)
+    q0 = float(conformal_calibrate(jnp.asarray(p), jnp.asarray(y),
+                                   alpha=0.1))
+    p_pad = np.concatenate([p, np.full((25, 3), 0.99, np.float32)])
+    y_pad = np.concatenate([y, np.zeros(25, np.int32)])
+    w = np.concatenate([np.ones(100, np.float32), np.zeros(25, np.float32)])
+    q1 = float(conformal_calibrate(jnp.asarray(p_pad), jnp.asarray(y_pad),
+                                   alpha=0.1, weights=jnp.asarray(w)))
+    assert abs(q0 - q1) < 1e-6
+
+    sets = conformal_sets(jnp.asarray(p_pad), q1)
+    cov0, size0 = coverage_and_size(
+        conformal_sets(jnp.asarray(p), q1), jnp.asarray(y))
+    cov1, size1 = coverage_and_size(sets, jnp.asarray(y_pad),
+                                    weights=jnp.asarray(w))
+    assert abs(float(cov0) - float(cov1)) < 1e-6
+    assert abs(float(size0) - float(size1)) < 1e-6
+
+
+def test_aps_sets_never_empty_and_contain_argmax():
+    r = np.random.default_rng(4)
+    p, y = _sample_task(r, 150)
+    q = conformal_calibrate(jnp.asarray(p), jnp.asarray(y), alpha=0.4,
+                            method="aps")
+    sets = np.asarray(conformal_sets(jnp.asarray(p), q, method="aps"))
+    assert (sets.sum(-1) >= 1).all()
+    assert sets[np.arange(len(p)), p.argmax(-1)].all()
