@@ -10,6 +10,7 @@ from multimodal_eeg_fmri_tpu.report.conformal import (
     conformal_sets,
     coverage_and_size,
 )
+from multimodal_eeg_fmri_tpu.report.uncertainty import ensemble_uncertainty
 from multimodal_eeg_fmri_tpu.report.drift import (
     cusum_step,
     ewma_step,
@@ -42,4 +43,5 @@ __all__ = [
     "conformal_calibrate",
     "conformal_sets",
     "coverage_and_size",
+    "ensemble_uncertainty",
 ]

@@ -98,6 +98,48 @@ def test_padding_mask_invariance():
     assert abs(float(size0) - float(size1)) < 1e-6
 
 
+def test_ensemble_uncertainty_decomposition():
+    """Hand-NumPy oracle + the two defining limits: identical members have
+    zero mutual information; confident-but-contradictory members put all
+    uncertainty in the epistemic term."""
+    from multimodal_eeg_fmri_tpu.report.uncertainty import (
+        ensemble_uncertainty,
+    )
+
+    r = np.random.default_rng(5)
+    probs = r.dirichlet(np.ones(3), size=(4, 50)).astype(np.float32)
+    out = ensemble_uncertainty(jnp.asarray(probs))
+
+    def ent(p):
+        return -(p * np.log(np.clip(p, 1e-12, 1))).sum(-1)
+
+    np.testing.assert_allclose(np.asarray(out["predictive_entropy"]),
+                               ent(probs.mean(0)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["expected_entropy"]),
+                               ent(probs).mean(0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["mutual_information"]),
+        np.maximum(ent(probs.mean(0)) - ent(probs).mean(0), 0), atol=1e-6)
+    assert (np.asarray(out["mutual_information"]) >= 0).all()
+
+    # identical members → zero epistemic uncertainty, zero disagreement
+    same = np.broadcast_to(probs[0], probs.shape)
+    out_same = ensemble_uncertainty(jnp.asarray(same))
+    np.testing.assert_allclose(np.asarray(out_same["mutual_information"]),
+                               0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_same["disagreement"]), 0.0)
+
+    # two members certain of OPPOSITE classes → aleatoric ≈ 0, epistemic
+    # ≈ H(uniform over the two picked classes) = log 2
+    contra = np.zeros((2, 1, 3), np.float32)
+    contra[0, 0, 0] = contra[1, 0, 1] = 1.0
+    out_c = ensemble_uncertainty(jnp.asarray(contra))
+    assert float(out_c["expected_entropy"][0]) < 1e-6
+    np.testing.assert_allclose(float(out_c["mutual_information"][0]),
+                               np.log(2), rtol=1e-4)
+    assert float(out_c["disagreement"][0]) == 0.5
+
+
 def test_aps_sets_never_empty_and_contain_argmax():
     r = np.random.default_rng(4)
     p, y = _sample_task(r, 150)
