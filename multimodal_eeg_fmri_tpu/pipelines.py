@@ -186,6 +186,17 @@ def run_eeg_experiment(
     out["late_fusion"] = evaluate_late_fusion(
         results, ["trimodal", "fusion"])
 
+    # deployment-readiness report: per-fold calibration / operating point /
+    # leave-one-fold-out conformal coverage (report/clinical.py)
+    from multimodal_eeg_fmri_tpu.report.clinical import clinical_report
+
+    out["clinical"] = {name: clinical_report(r)
+                       for name, r in results.items()}
+    for name, rep in out["clinical"].items():
+        logger.info("%s clinical: %s", name,
+                    {k: f"{m:.3f}±{s:.3f}"
+                     for k, (m, s) in rep["summary"].items()})
+
     if with_loso:
         loso = run_cv(models["trimodal"], cfg.train, data,
                       loso_splits(data, cfg.train),
@@ -239,6 +250,11 @@ def run_fmri_experiment(
     for name, r in results.items():
         logger.info("fMRI %s: %s", name,
                     {k: f"{m:.4f}±{s:.4f}" for k, (m, s) in r.summary.items()})
+
+    from multimodal_eeg_fmri_tpu.report.clinical import clinical_report
+
+    out["clinical"] = {name: clinical_report(r)
+                       for name, r in results.items()}
 
     if "reg_label" in data:
         reg_data = dict(data)

@@ -1,0 +1,90 @@
+"""Per-fold clinical decision report over a finished CV run.
+
+Glues the decision toolkit (calibration, operating point, conformal
+coverage) onto `train/cv.CVResult`, which already carries every fold's
+held-out probabilities/labels/padding mask — so the report is pure host
+math on stored outputs, no re-evaluation, usable on any protocol the CV
+drivers produce (SGKF / LOSO / LOOCV / fMRI k-fold).
+
+Per fold: ECE, Brier, best-F1 operating point. Conformal coverage is
+**leave-one-fold-out**: fold f's prediction sets use a q̂ calibrated on
+the OTHER folds' held-out outputs (within-fold calibrate-and-test would
+be circular). Summary rows are mean ± std across folds, the same form as
+``CVResult.summary``.
+
+The reference reports raw fold metrics only (`CrossModal_EEG_scr.ipynb
+§44`); this is the framework's deployment-readiness extension.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_eeg_fmri_tpu.report.calibration import (
+    brier_score,
+    expected_calibration_error,
+    optimal_threshold,
+)
+from multimodal_eeg_fmri_tpu.report.conformal import (
+    conformal_calibrate,
+    conformal_sets,
+    coverage_and_size,
+)
+
+
+def clinical_report(
+    result,                       # train.cv.CVResult (binary task)
+    alpha: float = 0.1,
+    n_bins: int = 10,
+) -> Dict[str, Dict]:
+    """{"per_fold": {name: (n_folds,)}, "summary": {name: (mean, std)}}.
+
+    Requires ``result.test_probs/test_labels/test_weight`` (populated by
+    ``run_cv`` for classification) — raises otherwise.
+    """
+    if result.test_probs is None or result.test_labels is None:
+        raise ValueError("CVResult carries no per-sample test outputs — "
+                         "clinical_report needs a classification run_cv "
+                         "result")
+    probs = np.asarray(result.test_probs, np.float32)   # (F, n, C)
+    labels = np.asarray(result.test_labels, np.int64)   # (F, n)
+    weight = (np.asarray(result.test_weight, np.float32)
+              if result.test_weight is not None
+              else np.ones(labels.shape, np.float32))
+    n_folds = probs.shape[0]
+
+    per: Dict[str, np.ndarray] = {
+        k: np.zeros(n_folds, np.float64)
+        for k in ("ece", "brier", "opt_threshold", "opt_f1",
+                  "conformal_coverage", "conformal_set_size")
+    }
+    for f in range(n_folds):
+        p1 = jnp.asarray(probs[f, :, 1])
+        y = jnp.asarray(labels[f])
+        w = jnp.asarray(weight[f])
+        per["ece"][f] = float(expected_calibration_error(
+            p1, y, n_bins=n_bins, weights=w))
+        per["brier"][f] = float(brier_score(p1, y, weights=w))
+        t, v = optimal_threshold(p1, y, metric="f1", weights=w)
+        per["opt_threshold"][f] = float(t)
+        per["opt_f1"][f] = float(v)
+
+        # leave-one-fold-out conformal: q̂ from every OTHER fold's rows
+        others = [g for g in range(n_folds) if g != f]
+        cal_p = probs[others].reshape(-1, probs.shape[-1])
+        cal_y = labels[others].reshape(-1)
+        cal_w = weight[others].reshape(-1)
+        q = conformal_calibrate(jnp.asarray(cal_p), jnp.asarray(cal_y),
+                                alpha=alpha, weights=jnp.asarray(cal_w))
+        sets = conformal_sets(jnp.asarray(probs[f]), q)
+        cov, size = coverage_and_size(sets, y, weights=w)
+        per["conformal_coverage"][f] = float(cov)
+        per["conformal_set_size"][f] = float(size)
+
+    summary: Dict[str, Tuple[float, float]] = {
+        k: (float(v.mean()), float(v.std())) for k, v in per.items()
+    }
+    return {"per_fold": per, "summary": summary, "alpha": alpha}

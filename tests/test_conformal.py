@@ -98,6 +98,44 @@ def test_padding_mask_invariance():
     assert abs(float(size0) - float(size1)) < 1e-6
 
 
+def test_clinical_report_shapes_and_masking():
+    """clinical_report over a synthetic CVResult-shaped object: per-fold
+    arrays, mean±std summary, padded rows ignored, no-outputs error."""
+    from types import SimpleNamespace
+
+    from multimodal_eeg_fmri_tpu.report.clinical import clinical_report
+
+    r = np.random.default_rng(6)
+    F, n = 4, 60
+    probs = r.dirichlet(np.ones(2), size=(F, n)).astype(np.float32)
+    labels = (r.random((F, n)) < probs[..., 1]).astype(np.int64)
+    weight = np.ones((F, n), np.float32)
+    weight[:, -10:] = 0.0  # padded tail
+    probs[:, -10:] = 0.99  # garbage in the padding — must not matter
+    res = SimpleNamespace(test_probs=probs, test_labels=labels,
+                          test_weight=weight)
+    rep = clinical_report(res, alpha=0.2)
+    for k in ("ece", "brier", "opt_threshold", "opt_f1",
+              "conformal_coverage", "conformal_set_size"):
+        assert rep["per_fold"][k].shape == (F,)
+        assert k in rep["summary"]
+    # honest probs → coverage near 1−α on average (LOFO calibration)
+    assert rep["summary"]["conformal_coverage"][0] > 0.7
+
+    # padding invariance: slicing the padding off changes nothing
+    res2 = SimpleNamespace(test_probs=probs[:, :-10],
+                           test_labels=labels[:, :-10],
+                           test_weight=weight[:, :-10])
+    rep2 = clinical_report(res2, alpha=0.2)
+    for k, v in rep["per_fold"].items():
+        np.testing.assert_allclose(v, rep2["per_fold"][k], atol=1e-6,
+                                   err_msg=k)
+
+    with pytest.raises(ValueError, match="no per-sample"):
+        clinical_report(SimpleNamespace(test_probs=None, test_labels=None,
+                                        test_weight=None))
+
+
 def test_ensemble_uncertainty_decomposition():
     """Hand-NumPy oracle + the two defining limits: identical members have
     zero mutual information; confident-but-contradictory members put all
