@@ -88,6 +88,27 @@ def _first_mat_array(path: str) -> Optional[np.ndarray]:
 # EEG feature files
 # ---------------------------------------------------------------------------
 
+def _read_mat_many(paths: Sequence[str]) -> list:
+    """Parse many classic .mat files: one native thread-pool batch
+    (native/fastio.cpp ``fio_read_mat_batch``), then a per-file
+    scipy/h5py fallback for whatever the native parser declined. Order
+    matches ``paths``; unreadable files yield None (with a warning,
+    matching the reference's robustness policy)."""
+    from . import native_io
+
+    results = native_io.read_mat_batch(paths) if paths else []
+    out = []
+    for p, arr in zip(paths, results):
+        if arr is None:
+            try:
+                arr = _first_mat_array(p)
+            except Exception as e:  # noqa: BLE001 — match reference robustness
+                logger.warning("Error loading %s: %s", p, e)
+                arr = None
+        out.append(arr)
+    return out
+
+
 def load_eeg_conn_features(
     conn_dir: str | Path,
     subject_list: Sequence[int],
@@ -95,9 +116,13 @@ def load_eeg_conn_features(
     cond_list: Sequence[str],
 ) -> Dict[Tuple, np.ndarray]:
     """``conn_{BandName}_{cond}_subNN.mat`` (falls back to the lowercase
-    band key) → {(subject, band_key, cond, 0): flat float32 vector}."""
+    band key) → {(subject, band_key, cond, 0): flat float32 vector}.
+
+    Two-phase ingest: gather every path first, parse them all on the
+    native thread pool, then assign in gather order (so a later file for
+    the same key still wins, as in the reference's sequential loop)."""
     conn_dir = Path(conn_dir)
-    out: Dict[Tuple, np.ndarray] = {}
+    entries: list = []
     for subj in subject_list:
         s = f"{subj:02d}"
         for band_key, band_name in band_list.items():
@@ -107,13 +132,12 @@ def load_eeg_conn_features(
                 if not files:
                     files = sorted(glob.glob(
                         str(conn_dir / f"conn_{band_key}_{cond}_sub{s}.mat")))
-                for f in files:
-                    try:
-                        data = _first_mat_array(f)
-                        if data is not None:
-                            out[(subj, band_key, cond, 0)] = data.flatten()
-                    except Exception as e:  # noqa: BLE001 — match reference robustness
-                        logger.warning("Error loading %s: %s", f, e)
+                entries.extend(((subj, band_key, cond, 0), f) for f in files)
+    arrays = _read_mat_many([p for _, p in entries])
+    out: Dict[Tuple, np.ndarray] = {}
+    for (key, _), data in zip(entries, arrays):
+        if data is not None:
+            out[key] = data.flatten()
     logger.info("Loaded %d EEG connectivity samples", len(out))
     return out
 
@@ -124,22 +148,24 @@ def load_eeg_pw_features(
     band_list: Sequence[str],
     freq_list: Sequence[str],
 ) -> Dict[Tuple, np.ndarray]:
-    """``powspctrm_{band}_{freq}_subNN.mat`` → flat float32 vectors."""
+    """``powspctrm_{band}_{freq}_subNN.mat`` → flat float32 vectors.
+    Same two-phase native batch ingest as ``load_eeg_conn_features``."""
     pw_dir = Path(pw_dir)
-    out: Dict[Tuple, np.ndarray] = {}
+    entries: list = []
     for subj in subject_list:
         s = f"{subj:02d}"
         for band in band_list:
             for freq in freq_list:
-                for f in sorted(glob.glob(
-                        str(pw_dir / f"powspctrm_{band}_{freq}_sub{s}.mat"))):
-                    try:
-                        data = _first_mat_array(f)
-                        if data is not None:
-                            out[(subj, band, freq, 0)] = data.flatten()
-                    except Exception as e:  # noqa: BLE001
-                        logger.warning("Error loading %s: %s", f, e)
-    logger.info("Loaded %d EEG power spectrum samples", len(out))
+                entries.extend(
+                    ((subj, band, freq, 0), f)
+                    for f in sorted(glob.glob(
+                        str(pw_dir / f"powspctrm_{band}_{freq}_sub{s}.mat"))))
+    arrays = _read_mat_many([p for _, p in entries])
+    out: Dict[Tuple, np.ndarray] = {}
+    for (key, _), data in zip(entries, arrays):
+        if data is not None:
+            out[key] = data.flatten()
+    logger.info("Loaded %d EEG power samples", len(out))
     return out
 
 
