@@ -260,7 +260,37 @@ def bench_fmri_volumes() -> dict:
     return {"host": T_vol / best, "device": T_vol / best_dev}
 
 
+def _probe_backend(timeout_s: int = 240) -> str:
+    """Check (in a SUBPROCESS — a wedged tunnel hangs backend init
+    uninterruptibly in C, so an in-process timeout cannot fire) whether
+    the default backend comes up. Returns the platform to use."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return "cpu"
+
+
 def main():
+    # The remote-TPU tunnel has had multi-hour outages where backend init
+    # HANGS (not errors). Probe first; if the TPU is unreachable, pin the
+    # CPU backend so the run still produces a parseable metric line, with
+    # the platform recorded (a CPU number is not comparable to the
+    # baseline — the "platform" field flags it).
+    platform = _probe_backend()
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from multimodal_eeg_fmri_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -295,6 +325,7 @@ def main():
         except Exception as e:  # never lose the headline number
             extra[key] = f"error: {type(e).__name__}: {e}"
 
+    extra["platform"] = platform
     print(json.dumps({
         "metric": "fused_eeg_fmri_train_step",
         "value": round(ms, 4),
