@@ -371,6 +371,8 @@ def run_bridge_experiment(
                            dropout=cfg.bridge.dropout)
     logger.info("bridge LOOCV: %s",
                 {k: f"{v:.4f}" for k, v in res.loocv_metrics.items()})
+    logger.info("bridge clinical (pooled, LOO conformal): %s",
+                {k: f"{v:.3f}" for k, v in res.clinical.items()})
 
     if export:
         from multimodal_eeg_fmri_tpu.report.export import (

@@ -88,3 +88,43 @@ def clinical_report(
         k: (float(v.mean()), float(v.std())) for k, v in per.items()
     }
     return {"per_fold": per, "summary": summary, "alpha": alpha}
+
+
+def pooled_clinical_report(
+    probs: np.ndarray,            # (n, C) pooled held-out probabilities
+    labels: np.ndarray,           # (n,)
+    alpha: float = 0.1,
+    n_bins: int = 10,
+) -> Dict[str, float]:
+    """Clinical report for pooled one-row-per-fold protocols (LOOCV/LOSO
+    subject predictions), where per-fold calibration is meaningless.
+
+    Conformal coverage here is **leave-one-out**: subject i's q̂ comes from
+    every OTHER subject's nonconformity score (the LOOCV analogue of the
+    leave-one-fold-out rule; the O(n²) loop is trivial at subject counts).
+    """
+    probs = np.asarray(probs, np.float32)
+    labels = np.asarray(labels, np.int64)
+    n = len(labels)
+    p1 = jnp.asarray(probs[:, 1])
+    y = jnp.asarray(labels)
+    t, v = optimal_threshold(p1, y, metric="f1")
+    out = {
+        "ece": float(expected_calibration_error(p1, y, n_bins=n_bins)),
+        "brier": float(brier_score(p1, y)),
+        "opt_threshold": float(t),
+        "opt_f1": float(v),
+        "alpha": alpha,
+    }
+    scores = 1.0 - probs[np.arange(n), labels]          # LAC score
+    covered, sizes = np.zeros(n, bool), np.zeros(n)
+    for i in range(n):
+        others = np.delete(scores, i)
+        m = len(others)
+        rank = min(int(np.ceil((m + 1) * (1 - alpha))), m)
+        qhat = np.sort(others)[rank - 1]
+        covered[i] = scores[i] <= qhat
+        sizes[i] = int((1.0 - probs[i] <= qhat).sum())
+    out["conformal_coverage"] = float(covered.mean())
+    out["conformal_set_size"] = float(sizes.mean())
+    return out

@@ -93,6 +93,7 @@ class BridgeResult:
     loocv_metrics: Dict[str, float]      # pooled over held-out subjects
     per_subject: list                    # per-subject record dicts
     xai: Dict[str, np.ndarray]           # pooled saliency/IG per modality
+    clinical: Dict[str, float] = None    # pooled clinical report (LOO conformal)
 
 
 def run_bridge_loocv(
@@ -191,5 +192,11 @@ def run_bridge_loocv(
                 "attn_weights": np.squeeze(aw[f, 0]),
             })
 
+    from multimodal_eeg_fmri_tpu.report.clinical import (
+        pooled_clinical_report,
+    )
+
+    clinical = pooled_clinical_report(probs, labels)
     return BridgeResult(cv=cv, loocv_metrics=pooled,
-                        per_subject=per_subject, xai=xai)
+                        per_subject=per_subject, xai=xai,
+                        clinical=clinical)

@@ -136,6 +136,26 @@ def test_clinical_report_shapes_and_masking():
                                         test_weight=None))
 
 
+def test_pooled_clinical_report_loo_coverage():
+    """Pooled (LOOCV-style) report: LOO-conformal coverage near 1−α on
+    honest probabilities, all fields present."""
+    from multimodal_eeg_fmri_tpu.report.clinical import (
+        pooled_clinical_report,
+    )
+
+    r = np.random.default_rng(7)
+    covs = []
+    for _ in range(15):
+        p, y = _sample_task(r, 120, n_classes=2)
+        rep = pooled_clinical_report(p, y, alpha=0.2)
+        covs.append(rep["conformal_coverage"])
+    assert np.mean(covs) >= 0.8 - 0.02
+    assert np.mean(covs) <= 0.8 + 0.08
+    for k in ("ece", "brier", "opt_threshold", "opt_f1",
+              "conformal_set_size"):
+        assert k in rep
+
+
 def test_ensemble_uncertainty_decomposition():
     """Hand-NumPy oracle + the two defining limits: identical members have
     zero mutual information; confident-but-contradictory members put all
