@@ -109,6 +109,71 @@ def plot_roc(probs1: np.ndarray, labels: np.ndarray,
     return Path(path)
 
 
+def plot_reliability(probs1: np.ndarray, labels: np.ndarray,
+                     n_bins: int = 10,
+                     path: str | Path = "reliability.png"):
+    """Reliability diagram + per-bin counts (report/calibration data)."""
+    import jax.numpy as jnp
+
+    from multimodal_eeg_fmri_tpu.report.calibration import (
+        expected_calibration_error,
+        reliability_curve,
+    )
+
+    plt = _plt()
+    curve = reliability_curve(jnp.asarray(probs1), jnp.asarray(labels),
+                              n_bins=n_bins)
+    conf = np.asarray(curve["confidence"])
+    acc = np.asarray(curve["accuracy"])
+    cnt = np.asarray(curve["count"])
+    ece = float(expected_calibration_error(jnp.asarray(probs1),
+                                           jnp.asarray(labels),
+                                           n_bins=n_bins))
+    mask = cnt > 0
+    fig, (ax, ax2) = plt.subplots(
+        2, 1, figsize=(5, 6), height_ratios=[3, 1], sharex=True)
+    ax.plot([0, 1], [0, 1], "--", color="gray", label="perfect")
+    ax.plot(conf[mask], acc[mask], marker="o",
+            label=f"model (ECE = {ece:.3f})")
+    ax.set_ylabel("empirical accuracy")
+    ax.legend()
+    edges = np.linspace(0, 1, n_bins + 1)
+    ax2.bar((edges[:-1] + edges[1:]) / 2, cnt, width=0.9 / n_bins)
+    ax2.set_xlabel("predicted probability")
+    ax2.set_ylabel("count")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return Path(path)
+
+
+def plot_threshold_sweep(probs1: np.ndarray, labels: np.ndarray,
+                         path: str | Path = "threshold_sweep.png"):
+    """F1 / sensitivity / specificity across decision thresholds, with the
+    best-F1 operating point marked (report/calibration.threshold_sweep)."""
+    import jax.numpy as jnp
+
+    from multimodal_eeg_fmri_tpu.report.calibration import threshold_sweep
+
+    plt = _plt()
+    ts = np.linspace(0, 1, 101).astype(np.float32)
+    sw = threshold_sweep(jnp.asarray(probs1), jnp.asarray(labels),
+                         jnp.asarray(ts))
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name in ("f1", "sensitivity", "specificity"):
+        ax.plot(ts, np.asarray(sw[name]), label=name)
+    best = int(np.argmax(np.asarray(sw["f1"])))
+    ax.axvline(ts[best], color="gray", linestyle="--",
+               label=f"best F1 @ {ts[best]:.2f}")
+    ax.set_xlabel("threshold")
+    ax.set_ylabel("metric")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return Path(path)
+
+
 def plot_confusion(preds: np.ndarray, labels: np.ndarray,
                    path: str | Path = "confusion.png"):
     from sklearn.metrics import confusion_matrix

@@ -54,6 +54,10 @@ def test_plots_smoke(tmp_path):
                                 tmp_path / "cm.png").exists()
     assert plots.plot_tsne_embeddings(r.random((30, 8)), labels,
                                       tmp_path / "tsne.png").exists()
+    assert plots.plot_reliability(probs1.astype(np.float32), labels,
+                                  path=tmp_path / "rel.png").exists()
+    assert plots.plot_threshold_sweep(probs1.astype(np.float32), labels,
+                                      path=tmp_path / "sweep.png").exists()
     ci = channel_importance_from_attribution(r.random((4, 16, 18)))
     assert plots.plot_channel_importance(ci, tmp_path / "ch.png").exists()
     assert plots.plot_topomap(ci, tmp_path / "topo.png").exists()
