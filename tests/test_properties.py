@@ -186,3 +186,48 @@ def test_native_csv_fuzz_matches_numpy(tmp_path_factory, data):
     assert got.shape == (rows, cols)
     np.testing.assert_allclose(got, np.nan_to_num(vals), rtol=1e-6,
                                atol=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_native_mat_parser_matches_scipy(tmp_path_factory, data):
+    """Hypothesis-driven MAT v5 round trip: arbitrary numeric dtype, shape
+    (1-3 dims), values incl. NaN/inf edges, compression on/off — the
+    native parser must agree with scipy.io.loadmat exactly (after the
+    loaders' float32 + NaN→0 policy)."""
+    from scipy.io import loadmat, savemat
+
+    from multimodal_eeg_fmri_tpu.data.native_io import read_mat_f32
+
+    dtype = data.draw(st.sampled_from(
+        [np.float64, np.float32, np.int8, np.uint8, np.int16, np.uint16,
+         np.int32, np.int64]))
+    ndim = data.draw(st.integers(1, 3))
+    shape = tuple(data.draw(st.integers(1, 9)) for _ in range(ndim))
+    n = int(np.prod(shape))
+    if np.issubdtype(dtype, np.floating):
+        elem = st.one_of(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32,
+                      allow_subnormal=False),
+            st.just(float("nan")))
+        vals = np.asarray(data.draw(st.lists(
+            elem, min_size=n, max_size=n)), dtype).reshape(shape)
+    else:
+        info = np.iinfo(dtype)
+        lo = max(info.min, -(1 << 24))  # keep exactly representable in f32
+        hi = min(info.max, 1 << 24)
+        vals = np.asarray(data.draw(st.lists(
+            st.integers(lo, hi), min_size=n, max_size=n)),
+            dtype).reshape(shape)
+    compressed = data.draw(st.booleans())
+
+    d = tmp_path_factory.mktemp("matfuzz")
+    path = d / "t.mat"
+    savemat(str(path), {"x": vals}, do_compression=compressed)
+
+    got = read_mat_f32(path)
+    expected = np.nan_to_num(
+        np.asarray(loadmat(str(path))["x"], np.float32), nan=0.0)
+    assert got is not None, "native parser declined a supported file"
+    assert got.shape == expected.shape
+    np.testing.assert_array_equal(got, expected)
