@@ -139,6 +139,33 @@ def main():
           f"3-epoch loss {np.round(losses2, 4)}")
     assert losses2[-1] < losses2[0]
 
+    # --- expert parallelism: MoE FFN, experts sharded over the mesh ---
+    # the sixth axis: E experts hold E× the FFN parameters while each
+    # token pays one expert's FLOPs; GShard dispatch/combine einsums, XLA
+    # inserts the token all-to-alls (ops/moe.py + parallel/expert.py)
+    from multimodal_eeg_fmri_tpu.parallel.expert import (
+        build_ep_mesh,
+        ep_param_constraint,
+    )
+
+    ep = build_ep_mesh(jax.devices()[:8], data=2, expert=4)
+    moe = LongContextClassifier(hidden_dim=32, num_layers=1, num_heads=4,
+                                dropout=0.0, patch=4, num_experts=4,
+                                mesh=ep.mesh, expert_axis="expert",
+                                attn_impl="einsum")  # Pallas needs a TPU
+    fit3 = jax.jit(make_fit_fn(moe, cfg, eval_names=(),
+                               param_sharding=ep_param_constraint(ep)))
+    from jax.sharding import PartitionSpec as P3
+    dev3 = {k2: jax.device_put(
+        jnp.asarray(v2), NamedSharding(
+            ep.mesh, P3("data", *([None] * (np.ndim(v2) - 1)))))
+        for k2, v2 in data.items()}
+    res3 = fit3(jax.random.key(0), dev3, {}, None)
+    losses3 = np.asarray(res3.history["train_loss"]).ravel()
+    print(f"expert parallelism: 4 experts sharded over a 2x4 (data x "
+          f"expert) mesh, 3-epoch loss {np.round(losses3, 4)}")
+    assert losses3[-1] < losses3[0]
+
 
 if __name__ == "__main__":
     main()
