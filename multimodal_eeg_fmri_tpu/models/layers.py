@@ -207,7 +207,10 @@ class TransformerBlock(nn.Module):
     expert_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # ``train`` is positional-or-keyword (not keyword-only) so the
+        # block can sit under ``nn.remat(..., static_argnums=(2,))`` —
+        # jax.checkpoint statics must be positional
         ff = self.dim_feedforward or 4 * self.d_model
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         y, _ = MultiHeadAttention(

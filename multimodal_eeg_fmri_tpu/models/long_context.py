@@ -57,6 +57,15 @@ class LongContextClassifier(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 1
     expert_axis: Optional[str] = None
+    # Rematerialize each block's activations in the backward pass
+    # (jax.checkpoint via nn.remat): live activation memory drops from
+    # O(num_layers · T · d) to O(T · d) + per-block recompute — the
+    # standard FLOPs-for-HBM trade that buys depth at long T on TPU.
+    # Gradients match the non-remat run to float reassociation (~1 ulp,
+    # tested); the memory benefit is a device-scheduling property — the
+    # CPU backend's memory_analysis does NOT reflect it, so don't "verify"
+    # the saving off-TPU.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -74,15 +83,17 @@ class LongContextClassifier(nn.Module):
         x = nn.Dense(self.hidden_dim, name="embed")(x)
         x = x + sinusoidal_position_encoding(
             x.shape[1], self.hidden_dim, x.dtype)[None]
+        block_cls = (nn.remat(TransformerBlock, static_argnums=(2,))
+                     if self.remat else TransformerBlock)
         for i in range(self.num_layers):
-            x = TransformerBlock(
+            x = block_cls(
                 self.hidden_dim, self.num_heads, dropout=self.dropout,
                 attn_impl=self.attn_impl, mesh=self.mesh,
                 seq_axis=self.seq_axis, head_axis=self.head_axis,
                 num_experts=self.num_experts, moe_top_k=self.moe_top_k,
                 expert_axis=self.expert_axis,
                 name=f"block_{i}",
-            )(x, train=train)
+            )(x, train)
         x = nn.LayerNorm(epsilon=1e-5, name="final_ln")(x)
         pooled = jnp.mean(x, axis=1)  # sharded-T mean → GSPMD partial-sums
         feat = gelu(nn.Dense(self.hidden_dim, name="pool_proj")(pooled))

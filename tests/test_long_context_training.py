@@ -176,3 +176,48 @@ def test_ring_trains_at_4k_context():
     losses = np.asarray(res.history["train_loss"]).ravel()
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_remat_matches_non_remat():
+    """remat=True (jax.checkpoint around each block) must reproduce the
+    non-remat forward loss exactly and gradients to float reassociation
+    (~1 ulp) — the FLOPs-for-HBM trade changes scheduling, not math."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_eeg_fmri_tpu.models import LongContextClassifier
+    from multimodal_eeg_fmri_tpu.ops.losses import cross_entropy
+
+    r = np.random.default_rng(0)
+    B, T, C = 2, 512, 4
+    x = jnp.asarray(r.standard_normal((B, T, C)).astype(np.float32))
+    y = jnp.asarray((np.arange(B) % 2).astype(np.int32))
+
+    def build(remat):
+        m = LongContextClassifier(hidden_dim=32, num_layers=3, num_heads=4,
+                                  dropout=0.0, patch=4, attn_impl="einsum",
+                                  remat=remat)
+        v = m.init({"params": jax.random.key(0)}, erp=x, train=False)
+
+        def loss(p):
+            out = m.apply({"params": p}, erp=x, train=True,
+                          rngs={"dropout": jax.random.key(1)})
+            return cross_entropy(out.logits, y)
+
+        return v["params"], jax.jit(jax.value_and_grad(loss))
+
+    p0, vg0 = build(False)
+    p1, vg1 = build(True)
+    # identical init regardless of the remat wrapper
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    l0, g0 = vg0(p0)
+    l1, g1 = vg1(p1)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
