@@ -73,6 +73,50 @@ def dequantize_leaf(q: np.ndarray, scales: np.ndarray) -> np.ndarray:
     return q.astype(np.float32) * scales
 
 
+def quantize_leaf_int4(
+    w: np.ndarray, group_size: int = 64
+) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...]]:
+    """Symmetric GROUPED int4: the input axes flatten to rows, rows chunk
+    into groups of ``group_size``, and each (group, out-channel) cell gets
+    its own scale ``max|w| / 7`` — the finer scale granularity is what
+    makes 4 bits usable. Nibbles pack two-per-byte (row-major down the
+    flattened axis). Returns (packed uint8, scales (G, out), orig shape).
+    """
+    w = np.asarray(w, np.float32)
+    out_ch = w.shape[-1]
+    rows = w.reshape(-1, out_ch)
+    n = rows.shape[0]
+    n_groups = -(-n // group_size)
+    pad = n_groups * group_size - n
+    if pad:
+        rows = np.concatenate([rows, np.zeros((pad, out_ch), np.float32)])
+    g = rows.reshape(n_groups, group_size, out_ch)
+    amax = np.max(np.abs(g), axis=1)                       # (G, out)
+    scales = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(g / scales[:, None, :]), -7, 7).astype(np.int8)
+    q = q.reshape(n_groups * group_size, out_ch)
+    nib = (q + 8).astype(np.uint8)                         # 1..15
+    if nib.shape[0] % 2:
+        nib = np.concatenate([nib, np.zeros((1, out_ch), np.uint8)])
+    packed = (nib[0::2] << 4) | nib[1::2]
+    return packed, scales, w.shape
+
+
+def dequantize_leaf_int4(packed: np.ndarray, scales: np.ndarray,
+                         shape: Tuple[int, ...],
+                         group_size: int = 64) -> np.ndarray:
+    out_ch = packed.shape[-1]
+    hi = (packed >> 4).astype(np.int8) - 8
+    lo = (packed & 0x0F).astype(np.int8) - 8
+    nib = np.empty((packed.shape[0] * 2, out_ch), np.int8)
+    nib[0::2], nib[1::2] = hi, lo
+    n = int(np.prod(shape[:-1]))
+    n_groups = scales.shape[0]
+    q = nib[: n_groups * group_size].reshape(n_groups, group_size, out_ch)
+    w = (q.astype(np.float32) * scales[:, None, :]).reshape(-1, out_ch)
+    return w[:n].reshape(shape)
+
+
 def _quantizable(leaf) -> bool:
     a = np.asarray(leaf)
     return a.ndim >= 2 and np.issubdtype(a.dtype, np.floating)
@@ -101,22 +145,38 @@ def dequantize_tree(qtree: Any, stree: Any) -> Any:
     return _unflatten(out)
 
 
-def save_quantized(path: str | Path, variables: Dict[str, Any]) -> Path:
+def save_quantized(path: str | Path, variables: Dict[str, Any],
+                   bits: int = 8, group_size: int = 64) -> Path:
     """Quantize ``variables['params']`` (weight-only) and write one ``.npz``
-    with all other collections (batch_stats, …) stored f32 as-is."""
+    with all other collections (batch_stats, …) stored f32 as-is.
+
+    ``bits=8``: per-output-channel int8 (~4× smaller, near-lossless).
+    ``bits=4``: grouped int4 two-nibbles-per-byte (~8× smaller; the
+    per-(group, channel) scales bound the error at ``group amax / 14`` —
+    measured drift on the trained flagship stays decision-safe, tests).
+    """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
     path = Path(path)
     if path.suffix != ".npz":
         path = path.with_suffix(".npz")
     arrays: Dict[str, np.ndarray] = {}
-    manifest: Dict[str, Any] = {"collections": sorted(variables)}
+    manifest: Dict[str, Any] = {"collections": sorted(variables),
+                                "bits": bits, "group_size": group_size,
+                                "shapes": {}}
     for col, tree in variables.items():
         flat = _flatten(tree)
         for p, leaf in flat.items():
             key = _SEP.join((col,) + p)
             leaf = np.asarray(leaf)
             if col == "params" and _quantizable(leaf):
-                q, s = quantize_leaf(leaf)
-                arrays["q" + _SEP + key] = q
+                if bits == 8:
+                    q, s = quantize_leaf(leaf)
+                    arrays["q" + _SEP + key] = q
+                else:
+                    q, s, shape = quantize_leaf_int4(leaf, group_size)
+                    arrays["p" + _SEP + key] = q
+                    manifest["shapes"][key] = list(shape)
                 arrays["s" + _SEP + key] = s
             else:
                 arrays["f" + _SEP + key] = leaf
@@ -132,6 +192,8 @@ def load_quantized(path: str | Path) -> Dict[str, Any]:
     variables, ready for ``model.apply`` / ``serving.Predictor``."""
     with np.load(Path(path), allow_pickle=False) as z:
         manifest = json.loads(str(z["__manifest__"]))
+        gs = int(manifest.get("group_size", 64))
+        shapes = manifest.get("shapes", {})
         flat: Dict[Tuple[str, ...], np.ndarray] = {}
         for name in z.files:
             if name == "__manifest__" or name.startswith("s" + _SEP):
@@ -140,6 +202,9 @@ def load_quantized(path: str | Path) -> Dict[str, Any]:
             path_t = tuple(key.split(_SEP))
             if kind == "q":
                 flat[path_t] = dequantize_leaf(z[name], z["s" + _SEP + key])
+            elif kind == "p":  # packed int4
+                flat[path_t] = dequantize_leaf_int4(
+                    z[name], z["s" + _SEP + key], tuple(shapes[key]), gs)
             else:
                 flat[path_t] = z[name]
     tree = _unflatten(flat)

@@ -111,3 +111,58 @@ def test_payload_size_reduction(trained_lite, tmp_path):
     # pays; the npz is additionally deflate-compressed
     ratio = f32_bytes / path.stat().st_size
     assert ratio > 3.0, f"only {ratio:.2f}x smaller"
+
+
+def test_int4_leaf_roundtrip_error_bound():
+    from multimodal_eeg_fmri_tpu.core.quantize import (
+        dequantize_leaf_int4,
+        quantize_leaf_int4,
+    )
+
+    r = np.random.default_rng(3)
+    # 3-D leaf with ragged group boundary (flattened rows % 64 != 0) and
+    # 3-decade per-channel ranges
+    w = (r.standard_normal((5, 23, 16))
+         * r.uniform(0.01, 10.0, (16,))).astype(np.float32)
+    packed, scales, shape = quantize_leaf_int4(w, group_size=64)
+    assert packed.dtype == np.uint8 and shape == w.shape
+    assert scales.shape == (-(-5 * 23 // 64), 16)
+    deq = dequantize_leaf_int4(packed, scales, shape, group_size=64)
+    assert deq.shape == w.shape
+    # per-(group, channel) bound: |err| <= scale/2
+    rows = (w - deq).reshape(-1, 16)
+    g = np.zeros_like(rows)
+    for gi in range(scales.shape[0]):
+        g[gi * 64:(gi + 1) * 64] = scales[gi] / 2
+    assert np.all(np.abs(rows) <= g + 1e-7)
+
+
+def test_int4_serving_and_size(trained_lite, tmp_path):
+    """int4 payload: ~2x smaller than int8, still decision-safe on the
+    trained flagship (bounded drift, argmax agreement)."""
+    from multimodal_eeg_fmri_tpu.serving import Predictor
+
+    model, res, test = trained_lite
+    variables = {"params": jax.tree_util.tree_map(np.asarray, res.params)}
+    if res.batch_stats:
+        variables["batch_stats"] = jax.tree_util.tree_map(
+            np.asarray, res.batch_stats)
+
+    p8 = save_quantized(tmp_path / "q8", variables, bits=8)
+    p4 = save_quantized(tmp_path / "q4", variables, bits=4)
+    assert p4.stat().st_size < 0.62 * p8.stat().st_size
+
+    p_ref = Predictor(model, variables["params"],
+                      variables.get("batch_stats"), batch_size=8)
+    p_q4 = Predictor.from_quantized(model, p4, batch_size=8)
+    inputs = {k: test[k] for k in ("erp", "pw", "conn")}
+    probs_ref = p_ref(**inputs)
+    probs_q4 = p_q4(**inputs)
+    assert np.max(np.abs(probs_q4 - probs_ref)) < 0.15
+    np.testing.assert_array_equal(probs_q4.argmax(-1),
+                                  probs_ref.argmax(-1))
+
+
+def test_int4_rejects_bad_bits(tmp_path):
+    with pytest.raises(ValueError, match="bits"):
+        save_quantized(tmp_path / "x", {"params": {}}, bits=5)
