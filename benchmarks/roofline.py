@@ -140,7 +140,7 @@ def analyze_train_step():
     return flops / 100, bytes_ / 100, ms
 
 
-def analyze_flash(t_len=8192, b=1, h=8, d=64, block=512):
+def analyze_flash(t_len=8192, b=1, h=8, d=64, block=512, k_steps=8):
     import jax
     import jax.numpy as jnp
 
@@ -150,14 +150,23 @@ def analyze_flash(t_len=8192, b=1, h=8, d=64, block=512):
     q0 = r.standard_normal((b, h, t_len, d)).astype(np.float32)
 
     @jax.jit
-    def fwd(q, k, v):
-        return flash_attention(q, k, v, block_q=block, block_k=block).ravel()[0]
+    def chain(q, k, v):
+        # k_steps chained calls in ONE dispatch (CLAUDE.md measurement
+        # rule: per-call dispatch adds 3-16 ms — comparable to the ~17 ms
+        # kernel itself at T=8192). The carry (attention output, a convex
+        # combination of V rows) stays bounded, so the chain is stable.
+        def step(qc, _):
+            return flash_attention(qc, k, v, block_q=block,
+                                   block_k=block), None
+
+        out, _ = jax.lax.scan(step, q, None, length=k_steps)
+        return out.ravel()[0]
 
     def make_args(i):
         q = jnp.asarray(q0 + 1e-3 * i)
         return q, q, q
 
-    t = _timed_scan(make_args, lambda *a: float(fwd(*a)))
+    t = _timed_scan(make_args, lambda *a: float(chain(*a))) / k_steps
     # forward attention FLOPs: QK^T (2*T^2*D) + PV (2*T^2*D) per head
     flops = 4.0 * b * h * t_len * t_len * d
     return flops, t

@@ -195,16 +195,21 @@ def read_mat_batch(
 ) -> List[Optional[np.ndarray]]:
     """Parse many MAT v5 files on the native thread pool; per-file arrays
     (MATLAB shape, float32, NaN→0) or None where the parser declined."""
+    if not paths:
+        return []
     lib = _load_library()
     if lib is None:
         return [None] * len(paths)
     n = len(paths)
     # Size the arena from the files (same lesson as read_csv_batch: idle
-    # arena pages cost more than parsing). A MAT element needs ≥1 byte of
-    # file (int8 storage compression), so file bytes bound the elements.
+    # arena pages cost more than parsing). Uncompressed variables need
+    # ≥1 byte of file per element (int8 storage compression), but
+    # miCOMPRESSED can expand past that — 8× covers the 2-6× ratios of
+    # real EEG features. Beyond-8× files overflow their slice and fall
+    # back to the per-file path (correct, just not batched).
     try:
         max_bytes = max(Path(p).stat().st_size for p in paths)
-        stride = min(max_elems_per_file, max(1024, max_bytes + 64))
+        stride = min(max_elems_per_file, max(1024, 8 * max_bytes + 64))
     except OSError:
         stride = max_elems_per_file
     arena = np.empty(n * stride, np.float32)

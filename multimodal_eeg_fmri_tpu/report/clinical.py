@@ -72,17 +72,26 @@ def clinical_report(
         per["opt_threshold"][f] = float(t)
         per["opt_f1"][f] = float(v)
 
-        # leave-one-fold-out conformal: q̂ from every OTHER fold's rows
+        # leave-one-fold-out conformal: q̂ from every OTHER fold's rows.
+        # With a single fold there is no other fold — fall back to
+        # leave-one-SAMPLE-out within the fold (the pooled-report rule)
+        # instead of calibrating on zero rows.
         others = [g for g in range(n_folds) if g != f]
-        cal_p = probs[others].reshape(-1, probs.shape[-1])
-        cal_y = labels[others].reshape(-1)
-        cal_w = weight[others].reshape(-1)
-        q = conformal_calibrate(jnp.asarray(cal_p), jnp.asarray(cal_y),
-                                alpha=alpha, weights=jnp.asarray(cal_w))
-        sets = conformal_sets(jnp.asarray(probs[f]), q)
-        cov, size = coverage_and_size(sets, y, weights=w)
-        per["conformal_coverage"][f] = float(cov)
-        per["conformal_set_size"][f] = float(size)
+        if others:
+            cal_p = probs[others].reshape(-1, probs.shape[-1])
+            cal_y = labels[others].reshape(-1)
+            cal_w = weight[others].reshape(-1)
+            q = conformal_calibrate(jnp.asarray(cal_p), jnp.asarray(cal_y),
+                                    alpha=alpha, weights=jnp.asarray(cal_w))
+            sets = conformal_sets(jnp.asarray(probs[f]), q)
+            cov, size = coverage_and_size(sets, y, weights=w)
+            per["conformal_coverage"][f] = float(cov)
+            per["conformal_set_size"][f] = float(size)
+        else:
+            m = weight[f] > 0
+            cov_f, size_f = _loo_conformal(probs[f][m], labels[f][m], alpha)
+            per["conformal_coverage"][f] = cov_f
+            per["conformal_set_size"][f] = size_f
 
     summary: Dict[str, Tuple[float, float]] = {
         k: (float(v.mean()), float(v.std())) for k, v in per.items()
@@ -116,6 +125,17 @@ def pooled_clinical_report(
         "opt_f1": float(v),
         "alpha": alpha,
     }
+    cov, size = _loo_conformal(probs, labels, alpha)
+    out["conformal_coverage"] = cov
+    out["conformal_set_size"] = size
+    return out
+
+
+def _loo_conformal(probs: np.ndarray, labels: np.ndarray,
+                   alpha: float) -> Tuple[float, float]:
+    """Leave-one-out conformal (coverage, mean set size): row i's q̂ comes
+    from every other row's LAC score. O(n²), trivial at subject counts."""
+    n = len(labels)
     scores = 1.0 - probs[np.arange(n), labels]          # LAC score
     covered, sizes = np.zeros(n, bool), np.zeros(n)
     for i in range(n):
@@ -125,6 +145,4 @@ def pooled_clinical_report(
         qhat = np.sort(others)[rank - 1]
         covered[i] = scores[i] <= qhat
         sizes[i] = int((1.0 - probs[i] <= qhat).sum())
-    out["conformal_coverage"] = float(covered.mean())
-    out["conformal_set_size"] = float(sizes.mean())
-    return out
+    return float(covered.mean()), float(sizes.mean())

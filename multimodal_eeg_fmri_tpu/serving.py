@@ -44,7 +44,14 @@ class Predictor:
     ):
         self.model = model
         self.batch_size = batch_size
-        self.temperature = float(temperature) if temperature else None
+        if temperature is not None and temperature <= 0:
+            raise ValueError(f"temperature must be > 0, got {temperature}")
+        # fixed at construction: the value is baked into the traced
+        # forward below — mutating the attribute later would silently not
+        # change served outputs, so treat it as read-only
+        self.temperature = (float(temperature) if temperature is not None
+                            else None)
+        temp = self.temperature
         self._preprocess = preprocess
         self._return_probs = return_probs
         variables = {"params": params}
@@ -56,11 +63,11 @@ class Predictor:
                 inputs = {**inputs, **preprocess(inputs)}
             out = model.apply(variables, **inputs, train=False)
             logits = out.logits.astype(jnp.float32)
-            if self.temperature is not None:
+            if temp is not None:
                 # temperature scaling (report/calibration.fit_temperature)
                 # baked into the compiled forward — and therefore into any
                 # exported StableHLO artifact
-                logits = logits / jnp.float32(self.temperature)
+                logits = logits / jnp.float32(temp)
             if return_probs:
                 return jax.nn.softmax(logits, axis=-1)
             return logits
@@ -273,7 +280,12 @@ class EnsemblePredictor:
         self.model = model
         self.batch_size = batch_size
         self.reduce = reduce
-        self.temperature = float(temperature) if temperature else None
+        if temperature is not None and temperature <= 0:
+            raise ValueError(f"temperature must be > 0, got {temperature}")
+        # fixed at construction (baked into the traced member forward)
+        self.temperature = (float(temperature) if temperature is not None
+                            else None)
+        temp = self.temperature
         self._plan = plan
         self._preprocess = preprocess
         variables = {"params": stacked_params}
@@ -300,11 +312,11 @@ class EnsemblePredictor:
         def _member_forward(variables, inputs):
             out = model.apply(variables, **inputs, train=False)
             logits = out.logits.astype(jnp.float32)
-            if self.temperature is not None:
+            if temp is not None:
                 # shared ensemble temperature (fit_temperature_ensemble):
                 # scaling must happen INSIDE each member's softmax because
                 # the fusion averages probabilities, not logits
-                logits = logits / jnp.float32(self.temperature)
+                logits = logits / jnp.float32(temp)
             return jax.nn.softmax(logits, axis=-1)
 
         if plan is not None:
@@ -371,8 +383,11 @@ class EnsemblePredictor:
             lambda v, i: self.model.apply(v, **i, train=False).logits,
             in_axes=(0, None)))
         # calibration is a one-time host-side fit: gather the (possibly
-        # ensemble-sharded) variables to the default device first
+        # ensemble-sharded) variables to the default device ONCE — inside
+        # the chunk loop this re-uploaded the whole K-stacked tree per
+        # chunk (found in review)
         host_vars = jax.tree_util.tree_map(np.asarray, self._variables)
+        dev_vars = jax.tree_util.tree_map(jnp.asarray, host_vars)
         inputs = {k: v for k, v in val_inputs.items()
                   if k not in RESERVED_KEYS}
         chunks, logits = Predictor._pad(self, inputs), []
@@ -380,9 +395,7 @@ class EnsemblePredictor:
             dev = {k: jnp.asarray(v) for k, v in chunk.items()}
             if self._preprocess is not None:
                 dev = {**dev, **self._preprocess(dev)}
-            logits.append(np.asarray(
-                logits_fn(jax.tree_util.tree_map(jnp.asarray, host_vars),
-                          dev))[:, :m])
+            logits.append(np.asarray(logits_fn(dev_vars, dev))[:, :m])
         t = float(fit_temperature_ensemble(
             jnp.asarray(np.concatenate(logits, axis=1)),
             jnp.asarray(np.asarray(val_labels)),

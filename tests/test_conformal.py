@@ -136,6 +136,24 @@ def test_clinical_report_shapes_and_masking():
                                         test_weight=None))
 
 
+def test_clinical_report_single_fold_falls_back_to_loo():
+    """n_folds == 1 has no other fold to calibrate on; the report must
+    fall back to leave-one-sample-out conformal instead of crashing
+    (found in review: conformal_calibrate on zero rows raised IndexError
+    after pipelines started calling clinical_report unconditionally)."""
+    from types import SimpleNamespace
+
+    from multimodal_eeg_fmri_tpu.report.clinical import clinical_report
+
+    r = np.random.default_rng(8)
+    probs, labels = _sample_task(r, 80, n_classes=2)
+    res = SimpleNamespace(test_probs=probs[None], test_labels=labels[None],
+                          test_weight=np.ones((1, 80), np.float32))
+    rep = clinical_report(res, alpha=0.2)
+    assert rep["per_fold"]["conformal_coverage"].shape == (1,)
+    assert 0.6 <= rep["per_fold"]["conformal_coverage"][0] <= 1.0
+
+
 def test_pooled_clinical_report_loo_coverage():
     """Pooled (LOOCV-style) report: LOO-conformal coverage near 1−α on
     honest probabilities, all fields present."""

@@ -191,6 +191,28 @@ def test_read_mat_declines_unsupported(tmp_path):
     assert native_io.read_mat_f32(tmp_path / "nope.mat") is None
 
 
+def test_read_mat_batch_empty_list():
+    assert native_io.read_mat_batch([]) == []
+
+
+def test_read_mat_batch_compressible_within_8x(tmp_path):
+    """The batch arena sizes from file bytes × 8: a variable compressing
+    up to ~8× must still take the batch fast path (beyond that it falls
+    back per-file — found in review: the old 1× bound silently declined
+    exactly the repetitive matrices that compress well)."""
+    from scipy.io import savemat
+
+    r = np.random.default_rng(9)
+    # low-entropy but not degenerate: quantized values compress ~4-6x
+    arr = np.round(r.standard_normal((200, 120)) * 2) / 2
+    p = tmp_path / "lowent.mat"
+    savemat(str(p), {"x": arr}, do_compression=True)
+    assert arr.nbytes / p.stat().st_size > 2.0  # meaningfully compressed
+    [got] = native_io.read_mat_batch([p])
+    assert got is not None, "batch path declined a <=8x-compressible file"
+    np.testing.assert_array_equal(got, _scipy_first(p))
+
+
 def test_read_mat_arena_overflow_declines(tmp_path):
     from scipy.io import savemat
 
