@@ -174,14 +174,19 @@ def bundle_or_jit(jitted_fn: Callable, example_args: tuple,
     path = cache_dir / f"{key}.shlo"
     if path.exists():
         loaded = load_bundle(path)
+        fell_back = False  # once stale, stay on the live jit: re-raising
+        # through the dead bundle re-ran the full export per call (review)
 
         def call_with_fallback(*args):
+            nonlocal fell_back
+            if fell_back:
+                return jitted_fn(*args)
             try:
                 return loaded(*args)
             except ValueError as e:
                 # belt-and-braces: a stale bundle (e.g. cache dir copied
                 # across machines) that was lowered for another platform /
-                # topology falls back to the live jit and is rewritten
+                # topology falls back to the live jit and is rewritten ONCE
                 msg = str(e).lower()
                 if "platform" not in msg and "device" not in msg:
                     raise
@@ -189,6 +194,7 @@ def bundle_or_jit(jitted_fn: Callable, example_args: tuple,
                     "AOT bundle %s is unusable on this backend (%s); "
                     "re-exporting and running the live jitted function",
                     path, e)
+                fell_back = True
                 export_jitted(jitted_fn, example_args, path)
                 return jitted_fn(*args)
 

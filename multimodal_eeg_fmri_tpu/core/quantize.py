@@ -40,23 +40,20 @@ import numpy as np
 _SEP = "/"  # flattened-path key separator inside the npz
 
 
-def _flatten(tree: Any, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
-    if isinstance(tree, dict):
-        out = {}
-        for k, v in tree.items():
-            out.update(_flatten(v, prefix + (str(k),)))
-        return out
-    return {prefix: tree}
+def _flatten(tree: Any) -> Dict[Tuple[str, ...], Any]:
+    """flax's flatten_dict (already a dependency via parallel/expert.py) —
+    no point maintaining a third tree flattener in this repo."""
+    from flax import traverse_util
+
+    if not isinstance(tree, dict):
+        return {(): tree}
+    return traverse_util.flatten_dict(tree)
 
 
 def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Any:
-    tree: Dict[str, Any] = {}
-    for path, leaf in flat.items():
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = leaf
-    return tree
+    from flax import traverse_util
+
+    return traverse_util.unflatten_dict(flat)
 
 
 def quantize_leaf(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -117,8 +114,18 @@ def dequantize_leaf_int4(packed: np.ndarray, scales: np.ndarray,
     return w[:n].reshape(shape)
 
 
-def _quantizable(leaf) -> bool:
+# leaf names that are BIASES despite being ≥2-D: DenseGeneral projections
+# store (num_heads, head_dim) biases and the MoE experts stack theirs as
+# b1 (E, ff) / b2 (E, D). The module policy ("biases stay f32 — all risk,
+# no size win") is name-aware, not just rank-aware (found in review:
+# rank-only quantized every attention projection bias).
+_BIAS_NAMES = frozenset({"bias", "b1", "b2"})
+
+
+def _quantizable(leaf, name: str | None = None) -> bool:
     a = np.asarray(leaf)
+    if name is not None and name in _BIAS_NAMES:
+        return False
     return a.ndim >= 2 and np.issubdtype(a.dtype, np.floating)
 
 
@@ -128,7 +135,7 @@ def quantize_tree(params: Any) -> Tuple[Any, Any]:
     flat = _flatten(params)
     qt, st = {}, {}
     for path, leaf in flat.items():
-        if _quantizable(leaf):
+        if _quantizable(leaf, path[-1]):
             q, s = quantize_leaf(np.asarray(leaf))
             qt[path], st[path] = q, s
         else:
@@ -169,7 +176,7 @@ def save_quantized(path: str | Path, variables: Dict[str, Any],
         for p, leaf in flat.items():
             key = _SEP.join((col,) + p)
             leaf = np.asarray(leaf)
-            if col == "params" and _quantizable(leaf):
+            if col == "params" and _quantizable(leaf, p[-1]):
                 if bits == 8:
                     q, s = quantize_leaf(leaf)
                     arrays["q" + _SEP + key] = q

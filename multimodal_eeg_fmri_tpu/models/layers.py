@@ -127,6 +127,21 @@ class MultiHeadAttention(nn.Module):
                 and key.shape[1] >= self.flash_min_len
                 and (self.dropout == 0.0 or not train)
             ) else "einsum"
+        elif impl in ("flash", "ring", "ring_local"):
+            # the auto route silently guards these; an EXPLICIT impl must
+            # fail loudly instead of silently computing over masked
+            # positions or dropping attention-probability dropout
+            # (found in review)
+            if mask is not None:
+                raise ValueError(
+                    f"attn_impl={impl!r} does not support an attention "
+                    "mask — use 'einsum' (or 'auto')")
+            if self.dropout > 0.0 and train:
+                raise ValueError(
+                    f"attn_impl={impl!r} cannot apply attention-probability "
+                    "dropout; set dropout=0.0 on the attention module (the "
+                    "block's residual dropout is unaffected) or use "
+                    "'einsum'/'auto'")
         if impl == "ring_local":
             if self.ring_size is None:
                 raise ValueError("attn_impl='ring_local' requires ring_size")

@@ -61,15 +61,27 @@ def top_k_routing(
       expert's capacity are dropped. Earlier-choice assignments get
       priority over later choices (all first choices are placed before any
       second choice), matching GShard.
-    - ``combine``: (S, E, C) — dispatch weighted by the token's normalized
-      gate for that expert (top-k gates renormalized to sum to 1, so with
-      identical experts the layer reduces exactly to the dense FFN).
+    - ``combine``: (S, E, C) — dispatch weighted by the token's gate.
+      **k = 1 uses the RAW router probability** (Switch Transformer):
+      renormalizing a single gate gives the constant 1.0, which cuts the
+      router out of the task gradient entirely — argmax routing is
+      non-differentiable, so the gate value is the ONLY path through
+      which the task loss can teach the router which expert helps (found
+      in review; with renormalized top-1 gates only the uniformizing aux
+      loss trained the router). k ≥ 2 renormalizes to sum to 1 (GShard);
+      the task gradient survives through the ratio, and with identical
+      experts the layer reduces exactly to the dense FFN. For k = 1 the
+      identical-expert reduction is ``p_top · FFN(x)`` — the Switch
+      scaling, tested against that oracle.
     - ``aux``: scalar Switch load-balance loss ``E · Σ_e f_e · p_e``.
     """
     S, E = router_logits.shape
     probs = jax.nn.softmax(router_logits, axis=-1)          # (S, E) f32
     top_p, top_i = jax.lax.top_k(probs, k)                  # (S, k)
-    gates = top_p / jnp.sum(top_p, axis=-1, keepdims=True)  # renormalized
+    if k == 1:
+        gates = top_p                                       # Switch gate
+    else:
+        gates = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
 
     choice = jax.nn.one_hot(top_i, E, dtype=jnp.float32)    # (S, k, E)
     # position of each (token, choice) within its expert's queue,

@@ -177,14 +177,17 @@ class Predictor:
         fn = jax.jit(lambda inputs: self._forward(self._variables, inputs))
         try:
             exp = jax_export.export(fn, platforms=list(platforms))(spec)
-        except (ValueError, NotImplementedError) as e:
-            # older jax / exotic backends reject multi-platform lowering;
-            # warn loudly — the artifact will only load where it was built
+        except Exception as e:  # noqa: BLE001 — deliberately broad: the
+            # whole point of this path is "exotic backends / jax versions
+            # reject multi-platform lowering with whatever error type they
+            # like" (RuntimeError, XlaRuntimeError, …); the ADVICE fix is
+            # the loud warning naming the single platform, not a narrow
+            # except that turns the fallback into a crash
             single = jax.default_backend()
             logging.getLogger(__name__).warning(
-                "multi-platform export for %s failed (%s); artifact is "
+                "multi-platform export for %s failed (%s: %s); artifact is "
                 "lowered for %r ONLY and will not load on other platforms",
-                platforms, e, single)
+                platforms, type(e).__name__, e, single)
             exp = jax_export.export(fn)(spec)
         blob = exp.serialize()
         Path(path).write_bytes(blob)

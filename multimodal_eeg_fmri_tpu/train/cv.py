@@ -171,7 +171,13 @@ def run_cv(
 
     if rng is None:
         rng = jax.random.key(cfg.seed)
-    if jnp.ndim(rng) >= 1:
+    rng = jnp.asarray(rng)
+    # legacy raw PRNG keys (jax.random.PRNGKey → (2,) uint32) are a SINGLE
+    # key despite ndim 1 — classify by dtype, not ndim (found in review:
+    # the ndim test read a raw key as "a stack of 2 per-fold keys")
+    is_typed = jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key)
+    per_fold = jnp.ndim(rng) >= 1 if is_typed else jnp.ndim(rng) >= 2
+    if per_fold:
         # precomputed per-fold keys (shape (n_folds,)) — used when a caller
         # needs a specific fold of a larger sweep to replay with the exact
         # key the full sweep would use (e.g. the padding-bias comparison)

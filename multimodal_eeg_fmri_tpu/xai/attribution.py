@@ -129,9 +129,14 @@ def integrated_gradients(
     alphas = jnp.linspace(0.0, 1.0, n_steps)
     grads = jax.vmap(grad_at_alpha)(alphas)  # leading n_steps axis per leaf
     mean_grads = jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0), grads)
-    return jax.tree_util.tree_map(
-        lambda d, g: jnp.abs(d * g), diffs, mean_grads
-    )
+    # frozen keys multiply by the FULL value (the reference's :233-234
+    # ``conn * avg_grads``), interpolated keys by (x − baseline); the two
+    # only coincide for the zero baseline (found in review)
+    return {
+        k: jnp.abs((inputs[k] if k in frozen_keys else diffs[k])
+                   * mean_grads[k])
+        for k in inputs
+    }
 
 
 def ablation_importance(

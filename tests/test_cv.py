@@ -103,3 +103,21 @@ def test_fmri_kfold_split_protocol():
         assert len(set(sp.train) & set(sp.test)) == 0
         assert len(set(sp.val) & set(sp.test)) == 0
         assert len(set(sp.train) & set(sp.val)) == 0
+
+
+def test_run_cv_accepts_legacy_raw_prng_key():
+    """Regression (review): jax.random.PRNGKey (raw (2,) uint32) is ONE
+    key, not a stack of 2 per-fold keys — classification is by dtype."""
+    import jax
+
+    data = synthetic_fmri(n_subjects=16, separation=1.5, seed=3)
+    cfg = TrainConfig(batch_size=4, num_epochs=2, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    splits = fmri_kfold_splits(data, cfg, n_splits=2, val_ratio=0.0)
+    res = run_cv(FMRIFusionNet(hidden_dim=16), cfg, data, splits,
+                 normalize="feature",
+                 normalize_keys=("activation", "connectivity"),
+                 rng=jax.random.PRNGKey(7))
+    assert res.n_folds == 2
+    assert np.all(np.isfinite(res.history["train_loss"]))

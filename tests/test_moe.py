@@ -57,7 +57,12 @@ def _tile_experts(params):
 
 @pytest.mark.parametrize("top_k", [1, 2])
 def test_identical_experts_reduce_to_dense_ffn(top_k):
+    """k ≥ 2: renormalized gates sum to 1 → exactly the dense FFN.
+    k = 1: the Switch gate is the RAW router probability (renormalizing a
+    single gate would be the constant 1.0, severing the router from the
+    task gradient), so the reduction is p_top · dense(x)."""
     x = _tokens()
+    B, T, D = x.shape
     E = 4
     moe = MoEFFN(d_model=16, num_experts=E, dim_feedforward=32,
                  top_k=top_k, capacity_factor=float(E))  # capacity = S
@@ -68,8 +73,30 @@ def test_identical_experts_reduce_to_dense_ffn(top_k):
     w1, b1 = params["w1"][0], params["b1"][0]
     w2, b2 = params["w2"][0], params["b2"][0]
     dense = _gelu(x @ w1 + b1) @ w2 + b2
+    if top_k == 1:
+        xs = np.asarray(x).reshape(-1, D)
+        probs = jax.nn.softmax(
+            jnp.asarray(xs, jnp.float32) @ params["router"]["kernel"], -1)
+        p_top = np.max(np.asarray(probs), -1).reshape(B, T, 1)
+        dense = p_top * dense
     np.testing.assert_allclose(np.asarray(y), np.asarray(dense),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_top1_router_receives_task_gradient():
+    """Regression (review): with renormalized top-1 gates the router's
+    task-loss gradient was identically zero — only the aux loss (which
+    pushes toward uniform) trained it. The Switch gate restores it."""
+    x = _tokens()
+    moe = MoEFFN(d_model=16, num_experts=4, dim_feedforward=32, top_k=1,
+                 capacity_factor=4.0)
+    params = moe.init(jax.random.key(0), x)["params"]
+
+    def task_loss(p):
+        return jnp.sum(moe.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(task_loss)(params)
+    assert float(jnp.max(jnp.abs(g["router"]["kernel"]))) > 1e-6
 
 
 def test_capacity_drops_zero_out_moe_branch():

@@ -50,11 +50,17 @@ def test_tree_rules_and_roundtrip():
         "emb": {"table": np.random.default_rng(2)
                 .standard_normal((3, 5, 7)).astype(np.float32)},
     }
+    tree["attn"] = {"bias": np.random.default_rng(3)
+                    .standard_normal((4, 8)).astype(np.float32)}  # 2-D bias
     qt, st = quantize_tree(tree)
     assert qt["dense"]["kernel"].dtype == np.int8
     assert qt["emb"]["table"].dtype == np.int8       # ndim>=2 quantizes
     assert qt["dense"]["bias"].dtype == np.float32   # 1-D passes through
     assert st["dense"]["bias"] is None
+    # DenseGeneral-style (heads, head_dim) biases stay f32 by NAME — the
+    # rank test alone quantized every attention projection bias (review)
+    assert qt["attn"]["bias"].dtype == np.float32
+    assert st["attn"]["bias"] is None
     deq = dequantize_tree(qt, st)
     np.testing.assert_array_equal(deq["bn"]["mean"], tree["bn"]["mean"])
     np.testing.assert_allclose(deq["dense"]["kernel"],
