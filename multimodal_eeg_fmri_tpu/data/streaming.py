@@ -33,7 +33,6 @@ from typing import Dict, Mapping, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from multimodal_eeg_fmri_tpu.ops import signal as S
 
@@ -104,9 +103,10 @@ def make_streaming_featurizer(
     def step(state: StreamState, chunk: jnp.ndarray):
         chunk = chunk.astype(jnp.float32)
         # causal band filtering with carried per-band state
+        # (ops/signal.sosfilt's pair form — scipy sosfilt(..., zi=...))
         new_band, new_zi = [], []
         for i, sos in enumerate(sos_list):
-            y, z = _sosfilt_carry(sos, chunk, state.zi[i])
+            y, z = S.sosfilt(sos, chunk, state.zi[i], return_zf=True)
             new_band.append(y)
             new_zi.append(z)
         buf_band = jnp.stack([
@@ -134,29 +134,6 @@ def make_streaming_featurizer(
         ), out
 
     return init, step
-
-
-def _sosfilt_carry(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray):
-    """``ops/signal.sosfilt`` variant that also returns the final filter
-    state, so the next chunk continues exactly where this one stopped
-    (scipy ``sosfilt(..., zi=...)`` semantics)."""
-    sos = np.asarray(sos)
-    coeff = [tuple(float(c) for c in row) for row in sos]
-
-    def stepf(z, xk):
-        yk = xk
-        zs = []
-        for s in range(sos.shape[0]):
-            b0, b1, b2, _, a1, a2 = coeff[s]
-            out = b0 * yk + z[s, 0]
-            z0_new = b1 * yk - a1 * out + z[s, 1]
-            z1_new = b2 * yk - a2 * out
-            zs.append(jnp.stack([z0_new, z1_new]))
-            yk = out
-        return jnp.stack(zs), yk
-
-    z_final, y = jax.lax.scan(stepf, zi.astype(x.dtype), x)
-    return y, z_final
 
 
 def stream_session(

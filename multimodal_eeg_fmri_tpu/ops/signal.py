@@ -135,11 +135,16 @@ def butter_bandpass_sos(low: float, high: float, fs: float, order: int = 4):
 
 
 def sosfilt(sos: np.ndarray, x: jnp.ndarray,
-            zi: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            zi: Optional[jnp.ndarray] = None,
+            return_zf: bool = False):
     """Cascaded biquad filtering along axis 0 of ``x`` (T, ...), matching
     ``scipy.signal.sosfilt``. ``sos`` is a HOST numpy array — its
     coefficients become compile-time constants; the scan body is S fused
-    biquads of VPU FMAs over the batched trailing dims."""
+    biquads of VPU FMAs over the batched trailing dims.
+
+    ``return_zf=True`` also returns the final filter state ``(y, zf)`` —
+    scipy's ``sosfilt(..., zi=...)`` pair form — so a caller can continue
+    the SAME filter on the next chunk (the streaming featurizer's carry)."""
     sos = np.asarray(sos)
     S_ = sos.shape[0]
     coeff = [tuple(float(c) for c in row) for row in sos]
@@ -166,8 +171,8 @@ def sosfilt(sos: np.ndarray, x: jnp.ndarray,
             yk = out
         return jnp.stack(zs), yk
 
-    _, y = jax.lax.scan(step, z0, xt)
-    return y
+    zf, y = jax.lax.scan(step, z0, xt)
+    return (y, zf) if return_zf else y
 
 
 def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, zi: np.ndarray,

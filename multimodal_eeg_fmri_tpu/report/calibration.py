@@ -32,11 +32,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-
-def _w(weights: Optional[jnp.ndarray], n: int) -> jnp.ndarray:
-    if weights is None:
-        return jnp.ones((n,), jnp.float32)
-    return weights.astype(jnp.float32)
+from multimodal_eeg_fmri_tpu.report.metrics import _w  # shared mask helper
 
 
 def reliability_curve(
@@ -151,7 +147,11 @@ def fit_temperature_ensemble(
 
 def _golden_min(f, bound: float, n_steps: int) -> jnp.ndarray:
     """Golden-section minimum of scalar ``f`` over [−bound, bound] as a
-    fixed-length ``lax.scan`` (see fit_temperature for why not Newton)."""
+    fixed-length ``lax.scan`` (see fit_temperature for why not Newton).
+
+    Classic single-evaluation form: each step keeps one interior point and
+    its value, so only the NEW point's ``f`` is computed (one objective
+    eval per step, not two)."""
     phi = 0.6180339887498949  # 1/golden ratio
     lo0 = jnp.float32(-bound)
     hi0 = jnp.float32(bound)
@@ -160,12 +160,16 @@ def _golden_min(f, bound: float, n_steps: int) -> jnp.ndarray:
 
     def step(carry, _):
         lo, m1, m2, hi, f1, f2 = carry
-        shrink_hi = f1 < f2  # keep [lo, m2]
+        shrink_hi = f1 < f2  # keep [lo, m2]; m1 survives as the new m2
         lo_n = jnp.where(shrink_hi, lo, m1)
         hi_n = jnp.where(shrink_hi, m2, hi)
         m1_n = hi_n - phi * (hi_n - lo_n)
         m2_n = lo_n + phi * (hi_n - lo_n)
-        return (lo_n, m1_n, m2_n, hi_n, f(m1_n), f(m2_n)), None
+        m_new = jnp.where(shrink_hi, m1_n, m2_n)
+        f_new = f(m_new)
+        f1_n = jnp.where(shrink_hi, f_new, f2)
+        f2_n = jnp.where(shrink_hi, f1, f_new)
+        return (lo_n, m1_n, m2_n, hi_n, f1_n, f2_n), None
 
     init = (lo0, m10, m20, hi0, f(m10), f(m20))
     (lo, _, _, hi, _, _), _ = jax.lax.scan(step, init, None, length=n_steps)

@@ -32,11 +32,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-
-def _weights(weights, n):
-    if weights is None:
-        return jnp.ones((n,), jnp.float32)
-    return weights.astype(jnp.float32)
+from multimodal_eeg_fmri_tpu.report.metrics import _w as _weights
 
 
 def _scores(probs: jnp.ndarray, labels: jnp.ndarray,

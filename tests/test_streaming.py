@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_eeg_fmri_tpu.data.streaming import (
-    _sosfilt_carry,
     make_streaming_featurizer,
     stream_session,
 )
@@ -32,7 +31,8 @@ def test_sosfilt_carry_matches_oneshot_and_scipy(raw):
     pieces = []
     z = zi
     for k in range(0, raw.shape[0], CHUNK):
-        y, z = _sosfilt_carry(sos, jnp.asarray(raw[k:k + CHUNK]), z)
+        y, z = S.sosfilt(sos, jnp.asarray(raw[k:k + CHUNK]), z,
+                         return_zf=True)
         pieces.append(np.asarray(y))
     streamed = np.concatenate(pieces, axis=0)
 
