@@ -325,14 +325,22 @@ def main():
         except Exception as e:  # never lose the headline number
             extra[key] = f"error: {type(e).__name__}: {e}"
 
+    print(json.dumps(result_line(ms, extra, platform)))
+
+
+def result_line(ms: float, extra: dict, platform: str) -> dict:
+    """The one-line JSON payload. The 10 ms baseline is a TPU number; a
+    CPU-fallback run (tunnel outage) must not be misread as a 100x
+    regression — the comparison is nulled instead of computed."""
+    extra = dict(extra)
     extra["platform"] = platform
-    print(json.dumps({
+    return {
         "metric": "fused_eeg_fmri_train_step",
         "value": round(ms, 4),
         "unit": "ms/batch",
-        "vs_baseline": round(10.0 / ms, 3),
+        "vs_baseline": None if platform == "cpu" else round(10.0 / ms, 3),
         "extra": extra,
-    }))
+    }
 
 
 if __name__ == "__main__":
