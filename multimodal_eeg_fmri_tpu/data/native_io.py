@@ -66,7 +66,7 @@ def _load_library() -> Optional[ctypes.CDLL]:
         lib.fio_read_mat_batch.restype = ctypes.c_int64
         lib.fio_read_mat_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         _LIB = lib
@@ -201,25 +201,31 @@ def read_mat_batch(
     if lib is None:
         return [None] * len(paths)
     n = len(paths)
-    # Size the arena from the files (same lesson as read_csv_batch: idle
-    # arena pages cost more than parsing). Uncompressed variables need
-    # ≥1 byte of file per element (int8 storage compression), but
-    # miCOMPRESSED can expand past that — 8× covers the 2-6× ratios of
-    # real EEG features. Beyond-8× files overflow their slice and fall
-    # back to the per-file path (correct, just not batched).
-    try:
-        max_bytes = max(Path(p).stat().st_size for p in paths)
-        stride = min(max_elems_per_file, max(1024, 8 * max_bytes + 64))
-    except OSError:
-        stride = max_elems_per_file
-    arena = np.empty(n * stride, np.float32)
+    # Size each file's arena slice from ITS OWN byte count (idle arena
+    # pages cost more than parsing on this host — a single big file among
+    # thousands of small ones must not inflate every slice). Worst case
+    # per file: int8 storage (1 byte/element) under miCOMPRESSED with the
+    # 8x byte-expansion budget → 8 * file_bytes ELEMENTS; real EEG
+    # features sit at 2-6x. Beyond-budget files overflow their slice and
+    # fall back to the per-file path (correct, just not batched).
+    def _cap(p) -> int:
+        try:
+            size = Path(p).stat().st_size
+        except OSError:
+            return max_elems_per_file
+        return min(max_elems_per_file, max(1024, 8 * size + 64))
+
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([_cap(p) for p in paths], out=offsets[1:])
+    arena = np.empty(int(offsets[-1]), np.float32)
     elems = np.zeros(n, np.int64)
     dims = np.zeros(n * _MAT_MAX_DIMS, np.int64)
     ndims = np.zeros(n, np.int64)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
     lib.fio_read_mat_batch(
         c_paths, n,
-        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), stride,
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         elems.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _MAT_MAX_DIMS,
         ndims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads)
@@ -231,8 +237,8 @@ def read_mat_batch(
         shape = tuple(
             int(d) for d in dims[i * _MAT_MAX_DIMS:
                                  i * _MAT_MAX_DIMS + int(ndims[i])])
-        k = int(elems[i])
-        out.append(arena[i * stride: i * stride + k]
+        lo = int(offsets[i])
+        out.append(arena[lo: lo + int(elems[i])]
                    .reshape(shape, order="F").copy())
     return out
 

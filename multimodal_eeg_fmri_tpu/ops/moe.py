@@ -35,6 +35,7 @@ training (eval applies are non-mutable, so the sow is a no-op there).
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Optional, Tuple
 
@@ -42,6 +43,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+_REPLICATION_WARNED: set = set()
 
 # exact (erf) GELU — the framework-wide convention (models/layers.py);
 # defined locally so ops/ never module-imports models/
@@ -131,7 +135,21 @@ class MoEFFN(nn.Module):
             return x
         if self.is_initializing():
             return x
-        if x.shape[0] % self.mesh.shape[self.expert_axis]:
+        axis_size = self.mesh.shape[self.expert_axis]
+        if x.shape[0] % axis_size:
+            # Replication is still correct, but the expert parallelism the
+            # caller explicitly configured is being dropped — say so once
+            # per (E, axis) instead of silently running unsharded at full
+            # per-device memory (advisor finding, round 3).
+            key = (x.shape[0], self.expert_axis, axis_size)
+            if key not in _REPLICATION_WARNED:
+                _REPLICATION_WARNED.add(key)
+                logger.warning(
+                    "MoEFFN: leading expert dim %d does not divide mesh "
+                    "axis %r (size %d) — falling back to REPLICATED "
+                    "expert weights/activations. Pick num_experts as a "
+                    "multiple of the expert-axis size to shard.",
+                    x.shape[0], self.expert_axis, axis_size)
             return x
         spec = P(self.expert_axis, *([None] * (x.ndim - 1)))
         return jax.lax.with_sharding_constraint(

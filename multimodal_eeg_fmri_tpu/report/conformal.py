@@ -73,7 +73,11 @@ def conformal_calibrate(
         jnp.ceil((n_real + 1) * (1.0 - alpha)).astype(jnp.int32), n_real)
     sorted_scores = jnp.sort(scores)
     pad = scores.shape[0] - n_real          # number of −inf entries in front
-    return sorted_scores[pad + rank - 1]
+    qhat = sorted_scores[pad + rank - 1]
+    # An all-masked calibration fold (n_real == 0) would land on a −inf
+    # sentinel and silently produce EMPTY sets downstream; a vacuous
+    # calibration must fail conservative instead: q̂ = +inf → full sets.
+    return jnp.where(n_real > 0, qhat, jnp.inf)
 
 
 def conformal_sets(

@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <fcntl.h>
+#include <limits>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <thread>
@@ -215,16 +216,22 @@ bool read_elem(const char* p, const char* end, Elem* e) {
   return true;
 }
 
-// Converts n source values of miTYPE `type` to float32 with NaN→0.
-// Returns false on an unsupported source type.
+// Converts n source values of miTYPE `type` to float32 with NaN→0 and
+// ±Inf→±FLT_MAX — exactly np.nan_to_num on a float32 array, so a file
+// parsed here agrees bit-for-bit with one handled by the scipy fallback
+// (loaders._first_mat_array). Returns false on an unsupported source type.
 bool convert_to_f32(uint32_t type, const char* src, size_t src_bytes,
                     float* out, int64_t max_elems, int64_t* n_out) {
+  constexpr float kMax = std::numeric_limits<float>::max();
   auto emit = [&](auto get, size_t elem_size) {
     int64_t n = static_cast<int64_t>(src_bytes / elem_size);
     int64_t m = std::min(n, max_elems);
     for (int64_t i = 0; i < m; i++) {
       float v = get(src + i * elem_size);
-      out[i] = (v != v) ? 0.0f : v;
+      if (v != v) v = 0.0f;
+      else if (v > kMax) v = kMax;
+      else if (v < -kMax) v = -kMax;
+      out[i] = v;
     }
     *n_out = n;
   };
@@ -441,16 +448,22 @@ int64_t fio_read_mat(const char* path, float* out, int64_t max_elems,
 // Batch form: n_files MAT files on a thread pool, file i into the arena
 // slice out + i*stride. elems[i] receives fio_read_mat's return for file i;
 // dims is n_files × max_dims. Returns files parsed OK.
+// `offsets` has n_files+1 entries: file i writes float32 elements into
+// out[offsets[i] : offsets[i+1]] (per-file capacity — slices are sized
+// from each file's own byte count, not the batch maximum, so one big
+// file among thousands of small ones no longer inflates the whole arena;
+// oversized idle arenas stall on first-touch page faults on this host).
 int64_t fio_read_mat_batch(const char** paths, int64_t n_files, float* out,
-                           int64_t stride, int64_t* elems, int64_t* dims,
-                           int64_t max_dims, int64_t* ndims,
+                           const int64_t* offsets, int64_t* elems,
+                           int64_t* dims, int64_t max_dims, int64_t* ndims,
                            int64_t n_threads) {
   std::atomic<int64_t> next(0), ok(0);
   auto worker = [&]() {
     for (;;) {
       int64_t i = next.fetch_add(1);
       if (i >= n_files) return;
-      elems[i] = fio_read_mat(paths[i], out + i * stride, stride,
+      elems[i] = fio_read_mat(paths[i], out + offsets[i],
+                              offsets[i + 1] - offsets[i],
                               dims + i * max_dims, max_dims, &ndims[i]);
       if (elems[i] >= 0) ok.fetch_add(1);
     }

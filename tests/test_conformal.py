@@ -224,3 +224,17 @@ def test_aps_sets_never_empty_and_contain_argmax():
     sets = np.asarray(conformal_sets(jnp.asarray(p), q, method="aps"))
     assert (sets.sum(-1) >= 1).all()
     assert sets[np.arange(len(p)), p.argmax(-1)].all()
+
+
+def test_all_masked_calibration_is_conservative():
+    """A vacuous calibration fold (every row masked) must yield q̂=+inf →
+    FULL sets, never silently-empty ones (advisor finding, round 3)."""
+    r = np.random.default_rng(5)
+    probs, labels = _sample_task(r, 16)
+    for method in ("lac", "aps"):
+        qhat = conformal_calibrate(
+            jnp.asarray(probs), jnp.asarray(labels), alpha=0.1,
+            method=method, weights=jnp.zeros(16))
+        assert np.isposinf(float(qhat)), (method, float(qhat))
+        sets = conformal_sets(jnp.asarray(probs), qhat, method=method)
+        assert bool(np.all(np.asarray(sets))), method

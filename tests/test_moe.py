@@ -248,3 +248,29 @@ def test_ep_training_matches_unsharded():
     losses = np.asarray(res3.history["train_loss"])
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+@needs8
+def test_nondividing_experts_warn_once(caplog):
+    """E not a multiple of the expert-axis size → replicated fallback must
+    WARN (once), not silently drop the configured parallelism."""
+    import logging
+
+    from multimodal_eeg_fmri_tpu.ops import moe as moe_mod
+
+    plan = build_ep_mesh(jax.devices()[:8], data=2, expert=4)
+    layer = MoEFFN(d_model=16, num_experts=3, mesh=plan.mesh,
+                   expert_axis="expert")
+    x = _tokens(D=16)
+    variables = layer.init(jax.random.key(0), x)
+    moe_mod._REPLICATION_WARNED.clear()
+    with caplog.at_level(logging.WARNING, logger="multimodal_eeg_fmri_tpu.ops.moe"):
+        out = jax.jit(lambda v, x: layer.apply(v, x))(variables, x)
+        np.asarray(out)
+    msgs = [r for r in caplog.records if "REPLICATED" in r.message]
+    assert msgs, "expected a replication-fallback warning"
+    # dense reference: unsharded module, same params
+    ref = MoEFFN(d_model=16, num_experts=3)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref.apply(variables, x)),
+        rtol=1e-5, atol=1e-6)

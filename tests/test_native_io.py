@@ -213,6 +213,57 @@ def test_read_mat_batch_compressible_within_8x(tmp_path):
     np.testing.assert_array_equal(got, _scipy_first(p))
 
 
+def test_read_mat_inf_matches_scipy_fallback(tmp_path):
+    """±Inf must clamp to ±FLT_MAX exactly like np.nan_to_num in the scipy
+    fallback, so the SAME dataset yields the SAME values regardless of
+    which parser handled each file (advisor finding, round 3)."""
+    from scipy.io import savemat
+
+    arr = np.array([[np.inf, -np.inf, np.nan, 1.5],
+                    [1e300, -1e300, 0.0, -2.5]])
+    for comp in (False, True):
+        p = tmp_path / f"inf_{int(comp)}.mat"
+        savemat(str(p), {"x": arr}, do_compression=comp)
+        got = native_io.read_mat_f32(p)
+        expected = _scipy_first(p)
+        assert got is not None
+        assert np.all(np.isfinite(got))
+        np.testing.assert_array_equal(got, expected, err_msg=str(p))
+
+
+def test_read_mat_batch_per_file_slices(tmp_path):
+    """One big file among many small ones: each slice is sized from its
+    own file (the arena must not scale as n_files × biggest file), and
+    every array still round-trips exactly."""
+    from scipy.io import savemat
+
+    r = np.random.default_rng(13)
+    paths, oracles = [], []
+    for i in range(12):
+        arr = r.standard_normal((3, 2 + i % 3))
+        p = tmp_path / f"small{i}.mat"
+        savemat(str(p), {"x": arr})
+        paths.append(p)
+        oracles.append(_scipy_first(p))
+    big = r.standard_normal((300, 200))
+    pb = tmp_path / "big.mat"
+    savemat(str(pb), {"x": big})
+    paths.insert(5, pb)
+    oracles.insert(5, _scipy_first(pb))
+
+    small_bytes = sum(p.stat().st_size for p in paths if p != pb)
+    total_cap_elems = sum(
+        min(1 << 20, max(1024, 8 * p.stat().st_size + 64)) for p in paths)
+    # per-file sizing: total arena ≈ Σ 8·size_i, NOT n × 8·max_size
+    assert total_cap_elems < 2 * (8 * pb.stat().st_size + 64) + \
+        8 * small_bytes + 13 * 1100
+
+    results = native_io.read_mat_batch(paths, n_threads=4)
+    for p, got, expected in zip(paths, results, oracles):
+        assert got is not None, p
+        np.testing.assert_array_equal(got, expected, err_msg=str(p))
+
+
 def test_read_mat_arena_overflow_declines(tmp_path):
     from scipy.io import savemat
 
