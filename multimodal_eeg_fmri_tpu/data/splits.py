@@ -95,38 +95,51 @@ def stratified_kfold(
 
 def leave_one_subject_out(
     subjects: np.ndarray,
-    val_ratio: float = 0.0,
+    val_ratio: Optional[float] = None,
     labels: Optional[np.ndarray] = None,
     seed: int = 42,
 ) -> List[Split]:
     """One fold per unique subject; that subject's samples are the test set.
-    With ``val_ratio`` > 0 an inner stratified val split is carved from the
-    remaining subjects (the reference LOSO selects on test or train loss —
-    both supported via TrainConfig.selection)."""
+
+    ``val_ratio=None`` (the default) carves a leakage-free inner val split
+    of 15% of the REMAINING subjects, so ``selection='val'`` never sees the
+    held-out test subject. The reference's LOSO instead lets val alias the
+    test subject — test-set model selection, the leakage documented in
+    SURVEY §2.5 — and that mode is OPT-IN via an explicit ``val_ratio=0``
+    (the golden-protocol replays use it to reproduce the reference
+    bit-for-bit); it warns every time."""
+    if val_ratio is None:
+        val_ratio = 0.15
     subjects = np.asarray(subjects)
     uniq = np.unique(subjects)
     rng = np.random.default_rng(seed)
     splits = []
+    leaky_folds = 0
     for fold, s in enumerate(uniq):
         test_idx = np.where(subjects == s)[0]
         rest = np.where(subjects != s)[0]
-        if val_ratio > 0:
-            rest_subj = np.unique(subjects[rest])
-            n_val = max(1, int(round(len(rest_subj) * val_ratio)))
+        rest_subj = np.unique(subjects[rest])
+        if val_ratio > 0 and len(rest_subj) >= 2:
+            n_val = min(max(1, int(round(len(rest_subj) * val_ratio))),
+                        len(rest_subj) - 1)
             val_subj = rng.choice(rest_subj, size=n_val, replace=False)
             va = rest[np.isin(subjects[rest], val_subj)]
             tr = rest[~np.isin(subjects[rest], val_subj)]
         else:
             tr, va = rest, test_idx
+            leaky_folds += 1
         splits.append(Split(tr, va, test_idx, fold))
-    if val_ratio <= 0:
+    if leaky_folds:
         import warnings
 
         warnings.warn(
-            "leave_one_subject_out(val_ratio=0): val aliases the TEST "
-            "subject, so selection='val' becomes test-set model selection "
-            "(this mirrors the reference's LOSO behavior but is leaky). "
-            "Pass val_ratio>0 for a leakage-free inner split, or select on "
+            f"leave_one_subject_out: {leaky_folds} fold(s) have val "
+            "ALIASING the TEST subject"
+            + (" (explicit val_ratio=0 — the reference-faithful mode)"
+               if val_ratio <= 0 else
+               " (too few remaining subjects to carve an inner split)")
+            + ", so selection='val' becomes test-set model selection "
+            "(leaky). Use the default val_ratio, or select on "
             "'train_loss'/'test' explicitly.", stacklevel=2)
     return splits
 

@@ -307,7 +307,11 @@ def fmri_kfold_splits(data, cfg: TrainConfig, n_splits=5, val_ratio=0.15,
                             stratify=stratify)
 
 
-def loso_splits(data, cfg: TrainConfig, val_ratio=0.0):
+def loso_splits(data, cfg: TrainConfig, val_ratio=None):
+    """LOSO folds. Default: a leakage-free 15% inner val split over the
+    remaining subjects; the reference-faithful leaky mode (val == test
+    subject) is opt-in via explicit ``val_ratio=0`` (see
+    ``data.splits.leave_one_subject_out``)."""
     return leave_one_subject_out(
         data.get("subject", np.arange(len(data["label"]))),
         val_ratio=val_ratio, labels=data["label"], seed=cfg.seed,

@@ -707,7 +707,9 @@ def run_loso_framework(data, subj_label, cfg):
     model = TriModalFusionNetV4(hidden_dim=HIDDEN, dropout=0.0,
                                 num_transformer_layers=LAYERS,
                                 num_heads=HEADS)
-    splits = loso_splits(data, cfg)
+    # explicit val_ratio=0: the reference-faithful (leaky) LOSO mode —
+    # this replay must train on ALL remaining subjects like the torch run
+    splits = loso_splits(data, cfg, val_ratio=0.0)
     res = run_cv(model, cfg, data, splits, normalize_keys=MODALITIES)
     return _vote_metrics(subject_level_votes(res), subj_label)
 
@@ -851,7 +853,7 @@ def run_fmri_loso_framework(data, subj_label, cfg):
     )
 
     model = FMRIFusionNet(hidden_dim=FM_H, dropout=0.0)
-    splits = loso_splits(data, cfg)
+    splits = loso_splits(data, cfg, val_ratio=0.0)  # reference-faithful
     res = run_cv(model, cfg, data, splits, normalize="feature",
                  normalize_keys=("activation", "connectivity"))
     return _fmri_vote_metrics(subject_level_votes(res), subj_label)

@@ -51,7 +51,13 @@ def test_padding_bias_bounded_on_ragged_loso():
                       schedule="constant", selection="train_loss",
                       patience=100, seed=0)
     model = TriModalFusionNetV4Lite(hidden_dim=24, dropout=0.0)
-    splits = loso_splits(data, cfg)
+    # reference-faithful splits (val == test subject): this test isolates
+    # PADDING, and the docs/DESIGN.md "Padding bias" bound was measured on
+    # this configuration. The leakage-free default carves per-fold val
+    # subjects out of train, which makes fold raggedness (and thus the
+    # padding under test) larger — a different measurement, not this one.
+    with pytest.warns(UserWarning, match="val_ratio=0"):
+        splits = loso_splits(data, cfg, val_ratio=0.0)
     sizes = {len(s.train) for s in splits}
     assert len(sizes) > 1, "sweep must actually be ragged"
 
