@@ -80,6 +80,10 @@ class EEGConfig:
     lite_dropout: float = 0.4
     num_transformer_layers: int = 2
     num_heads: int = 4
+    # >0 swaps the V4 temporal transformers' dense FFNs for a
+    # Mixture-of-Experts FFN (ops/moe.py; Switch aux loss auto-collected)
+    num_experts: int = 0
+    moe_top_k: int = 1
     conn_metrics: Tuple[str, ...] = ("plv", "coh", "wpli")
     freq_bands: Mapping[str, Tuple[float, float]] = field(
         default_factory=lambda: {
@@ -100,7 +104,8 @@ class EEGConfig:
     def __hash__(self):  # dict field is not hashable by default
         return hash((self.erp_channels, self.pw_channels, self.conn_features,
                      self.time_steps, self.hidden_dim, self.num_heads,
-                     self.num_transformer_layers))
+                     self.num_transformer_layers, self.num_experts,
+                     self.moe_top_k))
 
 
 @dataclass(frozen=True)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -66,6 +67,14 @@ class TriModalFusionNetV4(nn.Module):
     dropout: float = 0.3
     num_transformer_layers: int = 2
     num_heads: int = 4
+    # Mixture-of-Experts FFNs in the ERP/PW temporal transformers
+    # (ops/moe.py; 0 = the reference's dense FFN). ``mesh``/``expert_axis``
+    # shard the experts (expert parallelism); the Switch aux loss is sown
+    # into the "losses" collection and collected by train.fit.make_fit_fn.
+    num_experts: int = 0
+    moe_top_k: int = 1
+    mesh: Optional[jax.sharding.Mesh] = None
+    expert_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -76,13 +85,15 @@ class TriModalFusionNetV4(nn.Module):
         conn: jnp.ndarray,  # (B, conn_features)
         train: bool = False,
     ) -> ModelOutput:
+        moe_kw = dict(num_experts=self.num_experts, moe_top_k=self.moe_top_k,
+                      mesh=self.mesh, expert_axis=self.expert_axis)
         erp_feat = ERPEncoder(
             self.hidden_dim, self.num_transformer_layers, self.num_heads,
-            self.dropout, name="erp_encoder",
+            self.dropout, name="erp_encoder", **moe_kw,
         )(erp, train=train)
         pw_feat = PowerEncoder(
             self.hidden_dim, self.num_transformer_layers, self.num_heads,
-            self.dropout, name="pw_encoder",
+            self.dropout, name="pw_encoder", **moe_kw,
         )(pw, train=train)
         conn_feat = ConnMLPEncoder(
             self.hidden_dim, self.dropout, name="conn_encoder"

@@ -24,7 +24,7 @@ Re-designs of the reference encoder inventory (SURVEY §2.2):
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +68,12 @@ class ERPEncoder(nn.Module):
     num_transformer_layers: int = 2
     num_heads: int = 4
     dropout: float = 0.3
+    # Mixture-of-Experts FFN inside each transformer block (>0 experts;
+    # ops/moe.py) — optional expert parallelism via ``mesh``/``expert_axis``
+    num_experts: int = 0
+    moe_top_k: int = 1
+    mesh: Optional[jax.sharding.Mesh] = None
+    expert_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -86,6 +92,8 @@ class ERPEncoder(nn.Module):
         for i in range(self.num_transformer_layers):
             x = TransformerBlock(
                 self.hidden_dim, self.num_heads, dropout=self.dropout,
+                num_experts=self.num_experts, moe_top_k=self.moe_top_k,
+                mesh=self.mesh, expert_axis=self.expert_axis,
                 name=f"transformer_{i}",
             )(x, train=train)
 
@@ -143,6 +151,10 @@ class PowerEncoder(nn.Module):
     num_transformer_layers: int = 2
     num_heads: int = 4
     dropout: float = 0.3
+    num_experts: int = 0
+    moe_top_k: int = 1
+    mesh: Optional[jax.sharding.Mesh] = None
+    expert_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -156,6 +168,8 @@ class PowerEncoder(nn.Module):
         for i in range(self.num_transformer_layers):
             x = TransformerBlock(
                 self.hidden_dim, self.num_heads, dropout=self.dropout,
+                num_experts=self.num_experts, moe_top_k=self.moe_top_k,
+                mesh=self.mesh, expert_axis=self.expert_axis,
                 name=f"transformer_{i}",
             )(x, train=train)
         x = jnp.mean(x, axis=1)

@@ -155,7 +155,8 @@ def run_eeg_experiment(
         "trimodal": TriModalFusionNetV4(
             hidden_dim=e.hidden_dim, dropout=e.dropout,
             num_transformer_layers=e.num_transformer_layers,
-            num_heads=e.num_heads),
+            num_heads=e.num_heads, num_experts=e.num_experts,
+            moe_top_k=e.moe_top_k),
         "fusion": SmartFusionNetV4(
             hidden_dim=e.hidden_dim,
             num_transformer_layers=e.num_transformer_layers,

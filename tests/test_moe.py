@@ -274,3 +274,89 @@ def test_nondividing_experts_warn_once(caplog):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref.apply(variables, x)),
         rtol=1e-5, atol=1e-6)
+
+
+def test_flagship_v4_trains_with_moe():
+    """The flagship TriModalFusionNetV4 with num_experts>0 (VERDICT r3
+    next-#8): trains under make_fit_fn (Switch aux loss collected from
+    BOTH encoders' blocks), and num_experts=0 keeps the reference-dense
+    param tree (golden replay unaffected)."""
+    from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_eeg_trimodal
+    from multimodal_eeg_fmri_tpu.models import TriModalFusionNetV4
+
+    data = synthetic_eeg_trimodal(n_subjects=16, time_steps=32,
+                                  separation=1.5, seed=0)
+    data.pop("subject")
+    cfg = TrainConfig(batch_size=8, num_epochs=3, learning_rate=2e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    kw = dict(hidden_dim=32, num_transformer_layers=1, num_heads=2,
+              dropout=0.0)
+
+    moe_model = TriModalFusionNetV4(num_experts=4, moe_top_k=2, **kw)
+    fit = jax.jit(make_fit_fn(moe_model, cfg, eval_names=()))
+    dev = jax.tree_util.tree_map(jnp.asarray, data)
+    res = fit(jax.random.key(0), dev, {}, None)
+    loss = np.asarray(res.history["train_loss"]).ravel()
+    assert np.all(np.isfinite(loss)) and loss[-1] < loss[0], loss
+
+    # MoE params exist in both temporal transformers
+    p = res.params
+    for enc in ("erp_encoder", "pw_encoder"):
+        assert "moe" in p[enc]["transformer_0"], p[enc]["transformer_0"].keys()
+        assert p[enc]["transformer_0"]["moe"]["w1"].shape[0] == 4
+
+    # the Switch aux loss is sown during training applies
+    batch = {k: v[:8] for k, v in dev.items() if k not in ("label", "weight")}
+    _, mut = moe_model.apply(
+        {"params": res.params, "batch_stats": res.batch_stats}, **batch,
+        train=True, rngs={"dropout": jax.random.key(1)},
+        mutable=["batch_stats", "losses"])
+    leaves = jax.tree_util.tree_leaves(mut.get("losses", {}))
+    assert len(leaves) == 2, mut.get("losses")  # one per encoder's block
+
+    # experts off == the reference-dense architecture (ffn1/ffn2, no moe)
+    dense = TriModalFusionNetV4(num_experts=0, **kw)
+    vd = dense.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)},
+                    **batch, train=False)
+    blk = vd["params"]["erp_encoder"]["transformer_0"]
+    assert "ffn1" in blk and "moe" not in blk
+
+
+@needs8
+def test_flagship_v4_moe_ep_sharded_matches_unsharded():
+    """Flagship V4 with experts sharded over the expert mesh axis: one
+    compiled training epoch equals the identical unsharded run."""
+    from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_eeg_trimodal
+    from multimodal_eeg_fmri_tpu.models import TriModalFusionNetV4
+
+    data = synthetic_eeg_trimodal(n_subjects=16, time_steps=32,
+                                  separation=1.5, seed=1)
+    data.pop("subject")
+    cfg = TrainConfig(batch_size=8, num_epochs=1, learning_rate=2e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+    kw = dict(hidden_dim=32, num_transformer_layers=1, num_heads=2,
+              dropout=0.0, num_experts=4, moe_top_k=1)
+    plan = build_ep_mesh(jax.devices()[:8], data=2, expert=4)
+
+    dev = jax.tree_util.tree_map(jnp.asarray, data)
+    dp = lambda x: NamedSharding(
+        plan.mesh, P("data", *([None] * (np.ndim(x) - 1))))
+    dev_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, dp(x)), dev)
+
+    model_sh = TriModalFusionNetV4(mesh=plan.mesh, expert_axis="expert", **kw)
+    fit_sh = jax.jit(make_fit_fn(model_sh, cfg, eval_names=(),
+                                 param_sharding=ep_param_constraint(plan)))
+    res_sh = fit_sh(jax.random.key(0), dev_sh, {}, None)
+
+    model = TriModalFusionNetV4(**kw)
+    fit = jax.jit(make_fit_fn(model, cfg, eval_names=()))
+    res = fit(jax.random.key(0), dev, {}, None)
+
+    np.testing.assert_allclose(
+        np.asarray(res_sh.history["train_loss"]),
+        np.asarray(res.history["train_loss"]), rtol=2e-4, atol=2e-5,
+        err_msg="EP-sharded flagship loss != unsharded")
