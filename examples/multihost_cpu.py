@@ -19,9 +19,16 @@ process device lists. This example executes it for real on CPU:
 - the driver then reruns the identical folds UNSHARDED in one process and
   asserts the full per-fold metric history matches both workers' gathered
   histories exactly (same tolerance as the dryrun's sharded==unsharded
-  check).
+  check);
+- phase 2 inverts the orientation: a flat ``(ensemble=1, data=8)`` mesh
+  whose DATA axis spans both processes — each process contributes its own
+  half of one global batch (``global_batch_tree``) and a single-fold
+  training run executes the per-step gradient all-reduce ACROSS the
+  process boundary (the DCN-DP pattern `build_hybrid_mesh` deliberately
+  avoids, executed here to prove the communication path itself), again
+  asserted equal to the single-process run.
 
-Run: ``python examples/multihost_cpu.py`` (~3-6 min, CPU only — safe during
+Run: ``python examples/multihost_cpu.py`` (~4-8 min, CPU only — safe during
 TPU tunnel outages). Exercised by ``tests/test_multiprocess.py``.
 """
 
@@ -72,6 +79,21 @@ def _folds(n_folds: int, dp: int):
         ev = pad_rows(subset(raw, np.arange(lo + 2 * B, lo + 3 * B)), B)
         out.append((tr, ev))
     return out, B
+
+
+def _dp_fold():
+    """One (train, eval) fold for the cross-process-DP phase: row counts
+    divisible by the 8-wide data axis."""
+    import numpy as np
+
+    from multimodal_eeg_fmri_tpu.data.arrays import pad_rows, subset
+    from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_eeg_trimodal
+
+    raw = synthetic_eeg_trimodal(n_subjects=24, time_steps=T, seed=11)
+    raw.pop("subject")
+    tr = pad_rows(subset(raw, np.arange(16)), 16)
+    ev = pad_rows(subset(raw, np.arange(16, 24)), 8)
+    return tr, ev
 
 
 def _fit_fn(B: int):
@@ -162,6 +184,41 @@ def worker(process_id: int, port: int, outdir: str) -> None:
     print(f"worker {process_id}: folds [{lo},{hi}) trained on mesh "
           f"{plan.n_ensemble}x{plan.n_data}, history gathered", flush=True)
 
+    # --- phase 2: DP ACROSS the process boundary. A flat (1, 8) mesh puts
+    # the data axis over both processes; each process feeds its own half
+    # of one global batch (global_batch_tree) and the compiled fit's
+    # per-step gradient psum crosses processes (gloo).
+    from multimodal_eeg_fmri_tpu.parallel.input import global_batch_tree
+    from multimodal_eeg_fmri_tpu.parallel.mesh import build_mesh
+
+    plan_dp = build_mesh(jax.devices(), ensemble=1, data=8)
+    procs_on_data = {d.process_index
+                     for d in plan_dp.mesh.devices.ravel()}
+    assert len(procs_on_data) == N_PROCESSES, procs_on_data
+
+    tr0, ev0 = _dp_fold()
+    n_rows = tr0["label"].shape[0]
+    lo_r, hi_r = (process_id * n_rows // N_PROCESSES,
+                  (process_id + 1) * n_rows // N_PROCESSES)
+    tr_dev = global_batch_tree(
+        plan_dp, jax.tree_util.tree_map(lambda x: x[lo_r:hi_r], tr0),
+        n_global_rows=n_rows)
+    ne = ev0["label"].shape[0]
+    lo_e, hi_e = (process_id * ne // N_PROCESSES,
+                  (process_id + 1) * ne // N_PROCESSES)
+    ev_dev = global_batch_tree(
+        plan_dp, jax.tree_util.tree_map(lambda x: x[lo_e:hi_e], ev0),
+        n_global_rows=ne)
+    fit_dp = _fit_fn(8)
+    res_dp = jax.jit(fit_dp)(jax.random.key(7), tr_dev, {"val": ev_dev},
+                             None)
+    hist_dp = {k: np.asarray(jax.jit(
+        lambda x: x, out_shardings=NamedSharding(plan_dp.mesh, P()))(v)
+        .addressable_data(0)) for k, v in res_dp.history.items()}
+    np.savez(Path(outdir) / f"dp_proc{process_id}.npz", **hist_dp)
+    print(f"worker {process_id}: cross-process DP fold trained on mesh "
+          f"1x8 (data spans {len(procs_on_data)} processes)", flush=True)
+
 
 def main() -> None:
     port = 12000 + os.getpid() % 20000
@@ -203,10 +260,24 @@ def main() -> None:
     loss = np.asarray(res.history["train_loss"]).ravel()
     assert len(set(np.round(loss, 6))) > 1, (
         "per-fold losses identical despite distinct fold data", loss)
+
+    # phase 2 reference: the same single fold, single-process, unsharded
+    tr0, ev0 = _dp_fold()
+    res_dp = jax.jit(_fit_fn(8))(
+        jax.random.key(7),
+        jax.tree_util.tree_map(jnp.asarray, tr0),
+        {"val": jax.tree_util.tree_map(jnp.asarray, ev0)}, None)
+    for pid in range(N_PROCESSES):
+        got = np.load(Path(outdir) / f"dp_proc{pid}.npz")
+        for k, v in res_dp.history.items():
+            np.testing.assert_allclose(
+                got[k], np.asarray(v), rtol=RTOL, atol=ATOL,
+                err_msg=f"cross-process DP history[{k!r}] != single-process")
     print(f"multihost_cpu OK: {N_PROCESSES} processes x "
           f"{DEVICES_PER_PROCESS} devices, mesh {ENSEMBLE}x{DATA}, "
           f"per-fold history == single-process run "
-          f"(train_loss {loss})")
+          f"(train_loss {loss}); cross-process DP (1x8) fold "
+          f"== single-process run")
 
 
 if __name__ == "__main__":

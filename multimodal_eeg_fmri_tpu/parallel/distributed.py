@@ -60,6 +60,14 @@ def initialize_distributed(
         # Single-process: nothing to set up; jax.process_count() == 1.
         _initialized = True
         return 1
+    try:
+        # CPU multi-process needs a cross-process collectives backend;
+        # gloo ships with jaxlib. A no-op for TPU/GPU platforms, where
+        # collectives ride ICI/NCCL (examples/multihost_cpu.py runs this
+        # path for real with process_count == 2).
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # older jaxlib without the option
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

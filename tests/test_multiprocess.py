@@ -26,3 +26,5 @@ def test_two_process_training_matches_single_process():
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
     assert r.returncode == 0, tail
     assert "multihost_cpu OK: 2 processes" in r.stdout, tail
+    assert "cross-process DP (1x8) fold == single-process run" in r.stdout, (
+        tail)
