@@ -53,6 +53,25 @@ class TrainConfig:
     selection: str = "val"
     val_ratio: float = 0.15
     seed: int = 42
+    # Gradient accumulation: number of microbatches each optimizer step is
+    # computed in (effective batch stays ``batch_size``; each microbatch is
+    # batch_size/grad_accum rows). The accumulation is EXACT for the
+    # weighted-mean losses in ops/losses.py — per-microbatch gradients are
+    # recombined with the loss's own weight-sum numerator/denominator, so
+    # grad_accum=k reproduces grad_accum=1 bit-for-bit up to f32 summation
+    # order (tests/test_fit_extras.py). Use for memory-bound models
+    # (long-context T≥4k) where a full batch's activations don't fit.
+    # Caveat (all frameworks share it): BatchNorm models normalize each
+    # MICRObatch by its own statistics during training, so exactness holds
+    # for the LayerNorm-only models (bridge, long-context); dropout masks
+    # are per-microbatch.
+    grad_accum: int = 1
+    # Exponential moving average of params (Polyak averaging): ema_decay>0
+    # maintains ema = d*ema + (1-d)*params after every optimizer step, and
+    # epoch-end evaluation/model-selection then uses the EMA weights (so
+    # FitResult.params is the best EMA snapshot; final_params stays raw).
+    # 0 disables (no per-step cost).
+    ema_decay: float = 0.0
     # Compute dtype for matmul-heavy paths; params stay f32. Default f32:
     # at the reference's shapes (batch 8, d=128) bf16 measured ~5% SLOWER
     # on v5e (the fused step is latency-bound, not MXU-bound — DESIGN.md

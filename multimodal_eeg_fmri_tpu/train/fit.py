@@ -81,6 +81,7 @@ class _Carry:
     plateau_bad: jnp.ndarray
     lr_scale: jnp.ndarray
     epoch: jnp.ndarray
+    ema_params: Any = ()        # Polyak average (cfg.ema_decay>0), else ()
 
 
 def _base_tx(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -243,13 +244,86 @@ def make_fit_fn(
 
     grad_fn = jax.value_and_grad(_loss_and_stats, has_aux=True)
 
+    accum = max(int(getattr(cfg, "grad_accum", 1) or 1), 1)
+    ema_d = float(getattr(cfg, "ema_decay", 0.0) or 0.0)
+
+    def _eff_weight(batch, class_weights):
+        """Per-row effective weight matching the loss's OWN denominator
+        (ops/losses.py: every loss reduces as Σ w·l / max(Σ w, 1e-8)) —
+        this is what makes microbatch gradient accumulation exact."""
+        lbl = batch[target_key]
+        sw = batch.get("weight")
+        w = (jnp.ones(lbl.shape[0], jnp.float32) if sw is None
+             else sw.astype(jnp.float32))
+        if (task != "regression" and cfg.loss == "weighted_ce"
+                and class_weights is not None):
+            w = w * class_weights.astype(jnp.float32)[lbl]
+        return w
+
+    def _scaled_loss(params, batch_stats, batch, rng, class_weights,
+                     task_scale):
+        """task_scale·L_micro + aux/accum — summed over microbatches this
+        reproduces the full-batch objective exactly (the task term re-weights
+        each microbatch's weighted-mean by its own weight-sum over the full
+        batch's; the aux term, e.g. MoE load-balance, is per-microbatch by
+        nature and averages)."""
+        out, new_bs, aux = _apply_train(params, batch_stats, batch, rng)
+        task = loss_fn(out.logits, batch[target_key], class_weights,
+                       batch.get("weight"))
+        return task_scale * task + aux / accum, new_bs
+
+    accum_grad_fn = jax.value_and_grad(_scaled_loss, has_aux=True)
+
+    def _accum_grads(params, batch_stats, batch, drop_rng, class_weights):
+        """Exact gradient accumulation over ``accum`` microbatches.
+
+        Full-batch loss = Σ_k ŵ_k·L_k / max(Σ_k w_k, ε) with
+        ŵ_k = max(w_k, ε) the microbatch's own clamped denominator, so
+        ∇L_full = Σ_k (ŵ_k/Ŵ)·∇L_k — each microbatch backward is scaled
+        by its share of the effective weight and summed. Running BN stats
+        thread through microbatches sequentially; dropout keys fold in the
+        microbatch index."""
+        n_rows = batch[target_key].shape[0]
+        micro = n_rows // accum
+        mbs = jax.tree_util.tree_map(
+            lambda x: x[: micro * accum].reshape(
+                accum, micro, *x.shape[1:]), batch)
+        w_rows = _eff_weight(batch, class_weights)[: micro * accum]
+        w_k = w_rows.reshape(accum, micro).sum(axis=1)
+        denom = jnp.maximum(jnp.sum(w_k), 1e-8)
+        task_scales = jnp.maximum(w_k, 1e-8) / denom
+
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+
+        def micro_body(acc, inp):
+            gsum, lsum, bs = acc
+            mb, ts, k = inp
+            (sloss, new_bs), g = accum_grad_fn(
+                params, bs, mb, jax.random.fold_in(drop_rng, k),
+                class_weights, ts)
+            gsum = jax.tree_util.tree_map(
+                lambda a, b: a + b.astype(jnp.float32), gsum, g)
+            return (gsum, lsum + sloss, new_bs), None
+
+        (grads, loss, new_bs), _ = jax.lax.scan(
+            micro_body, (zero_g, jnp.float32(0.0), batch_stats),
+            (mbs, task_scales, jnp.arange(accum)))
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), grads, params)
+        return (loss, new_bs), grads
+
     def _train_step(carry, batch, class_weights, lr, wd):
-        params, batch_stats, opt_state, rng, lr_scale, stopped = carry
+        params, batch_stats, opt_state, ema, rng, lr_scale, stopped = carry
         rng, drop_rng, aug_rng = jax.random.split(rng, 3)
         if augment is not None:
             batch = augment(aug_rng, batch)
-        (loss, new_bs), grads = grad_fn(params, batch_stats, batch, drop_rng,
-                                        class_weights)
+        if accum > 1:
+            (loss, new_bs), grads = _accum_grads(
+                params, batch_stats, batch, drop_rng, class_weights)
+        else:
+            (loss, new_bs), grads = grad_fn(params, batch_stats, batch,
+                                            drop_rng, class_weights)
         updates, new_opt = tx.update(grads, opt_state, params)
         # decoupled weight decay + runtime LR (AdamW semantics). Note: a
         # fused flat-vector AdamW was tried and measured SLOWER on v5e
@@ -266,7 +340,12 @@ def make_fit_fn(
         params = sel(new_params, params)
         batch_stats = sel(new_bs, batch_stats) if batch_stats else new_bs
         opt_state = sel(new_opt, opt_state)
-        return (params, batch_stats, opt_state, rng, lr_scale, stopped), loss
+        if ema_d > 0:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: ema_d * e + (1.0 - ema_d) * p, ema, params)
+            ema = sel(new_ema, ema)
+        return (params, batch_stats, opt_state, ema, rng, lr_scale,
+                stopped), loss
 
     def _eval_metrics(params, batch_stats, data):
         out = _apply_eval(params, batch_stats, data)
@@ -287,6 +366,10 @@ def make_fit_fn(
         bsz = min(cfg.batch_size, n)
         steps = n // bsz
         used = steps * bsz
+        if accum > 1 and bsz % accum:
+            raise ValueError(
+                f"grad_accum={accum} must divide the (effective) batch "
+                f"size {bsz}")
 
         # --- init ---
         rng, init_rng, drop_rng = jax.random.split(rng, 3)
@@ -323,6 +406,7 @@ def make_fit_fn(
                 plateau_bad=jnp.asarray(0, jnp.int32),
                 lr_scale=jnp.asarray(1.0, jnp.float32),
                 epoch=jnp.asarray(0, jnp.int32),
+                ema_params=params if ema_d > 0 else (),
             )
 
         def epoch_body(c: _Carry, _):
@@ -337,20 +421,25 @@ def make_fit_fn(
                 if cfg.schedule == "warmup_cosine"
                 else c.lr_scale
             )
-            (params, batch_stats, opt_state, rng, _, _), losses = jax.lax.scan(
-                partial(_train_step, class_weights=class_weights, lr=lr,
-                        wd=wd),
-                (c.params, c.batch_stats, c.opt_state, rng, lr_scale,
-                 c.stopped),
-                batches,
-            )
+            (params, batch_stats, opt_state, ema, rng, _, _), losses = (
+                jax.lax.scan(
+                    partial(_train_step, class_weights=class_weights, lr=lr,
+                            wd=wd),
+                    (c.params, c.batch_stats, c.opt_state, c.ema_params, rng,
+                     lr_scale, c.stopped),
+                    batches,
+                ))
             train_loss = jnp.mean(losses)
 
             # --- evaluation & selection ---
+            # With EMA enabled, epoch-end evaluation and model selection use
+            # the Polyak-averaged weights (so FitResult.params is the best
+            # EMA snapshot); the raw weights keep training underneath.
+            eval_params = ema if ema_d > 0 else params
             metrics_out = {"train_loss": train_loss, "lr_scale": lr_scale}
             sel_metric = -train_loss  # default: selection == 'train_loss'
             for name in eval_names:
-                m = _eval_metrics(params, batch_stats, eval_sets[name])
+                m = _eval_metrics(eval_params, batch_stats, eval_sets[name])
                 for k, v in m.items():
                     metrics_out[f"{name}_{k}"] = v
                 key = "f1" if task == "classification" else "r2"
@@ -364,7 +453,7 @@ def make_fit_fn(
             take_new = lambda new, old: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(improved, a, b), new, old
             )
-            best_params = take_new(params, c.best_params)
+            best_params = take_new(eval_params, c.best_params)
             best_bs = (
                 take_new(batch_stats, c.best_batch_stats)
                 if batch_stats else batch_stats
@@ -388,7 +477,7 @@ def make_fit_fn(
                 best_metric=best_metric, best_epoch=best_epoch,
                 bad_epochs=bad, stopped=stopped,
                 plateau_best=p_best, plateau_bad=p_bad, lr_scale=lr_scale2,
-                epoch=c.epoch + 1,
+                epoch=c.epoch + 1, ema_params=ema,
             )
             return new_c, metrics_out
 
