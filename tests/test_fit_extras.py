@@ -168,7 +168,7 @@ def test_grad_accum_ema_compose_with_fold_mesh():
     from multimodal_eeg_fmri_tpu.parallel.mesh import build_mesh
     from multimodal_eeg_fmri_tpu.train.cv import eeg_kfold_splits, run_cv
 
-    plan = build_mesh(jax.devices()[:8], ensemble=4, data=1)
+    plan = build_mesh(jax.devices()[:4], ensemble=4, data=1)
     data = synthetic_eeg_trimodal(n_subjects=16, time_steps=32,
                                   separation=2.0, seed=5)
     cfg = TrainConfig(batch_size=4, num_epochs=3, learning_rate=3e-3,
