@@ -225,12 +225,27 @@ def main() -> None:
     outdir = tempfile.mkdtemp(prefix="multihost_cpu_")
     procs = []
     t0 = time.time()
-    for pid in range(N_PROCESSES):
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--worker", str(pid), str(port), outdir],
-            cwd=str(REPO)))
-    rcs = [p.wait(timeout=1200) for p in procs]
+    try:
+        for pid in range(N_PROCESSES):
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker", str(pid), str(port), outdir],
+                cwd=str(REPO)))
+        rcs = [p.wait(timeout=1200) for p in procs]
+    finally:
+        # a worker that dies pre-rendezvous leaves its peer blocked forever
+        # in the gloo handshake; without this, p.wait's TimeoutExpired (or
+        # the test runner killing this driver) would orphan a spinning
+        # worker on the one-CPU host and poison every later job
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in procs:
+            if p.poll() is None:
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    p.kill()
     assert rcs == [0] * N_PROCESSES, f"worker exit codes {rcs}"
     print(f"workers done in {time.time() - t0:.0f}s")
 

@@ -23,9 +23,26 @@ logger = logging.getLogger(__name__)
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
+# Must match fio_abi_version() in native/fastio.cpp. Bumped on any exported
+# signature change; a stale .so built from older source is rebuilt (or
+# refused) instead of being called through mismatched argtypes — calling
+# e.g. the old stride-by-value fio_read_mat_batch with the new offsets
+# pointer would scribble float32 data at pointer-valued strides.
+_ABI_VERSION = 2
+
 
 def _native_dir() -> Path:
     return Path(__file__).resolve().parents[2] / "native"
+
+
+def _needs_build(so: Path) -> bool:
+    if not so.exists():
+        return True
+    src = _native_dir() / "fastio.cpp"
+    try:
+        return src.stat().st_mtime > so.stat().st_mtime
+    except OSError:
+        return False
 
 
 def _load_library() -> Optional[ctypes.CDLL]:
@@ -34,17 +51,35 @@ def _load_library() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = _native_dir() / "build" / "libfastio.so"
-    if not so.exists():
+    if _needs_build(so):
         try:
             subprocess.run(
-                ["make", "-C", str(_native_dir())],
+                ["make", "-B", "-C", str(_native_dir())],
                 check=True, capture_output=True, timeout=120,
             )
         except (subprocess.SubprocessError, FileNotFoundError) as e:
-            logger.info("native fastio unavailable (%s); using numpy path", e)
-            return None
+            if not so.exists():
+                logger.info(
+                    "native fastio unavailable (%s); using numpy path", e)
+                return None
+            # Stale .so + no toolchain: fall through and let the ABI check
+            # decide whether the existing library is still safe to use.
     try:
         lib = ctypes.CDLL(str(so))
+        try:
+            lib.fio_abi_version.restype = ctypes.c_int64
+            abi = int(lib.fio_abi_version())
+        except AttributeError:
+            abi = -1  # pre-versioning build
+        if abi != _ABI_VERSION:
+            # dlopen caches the mapping in-process, so a rebuild now can't
+            # safely replace the already-loaded image — refuse it instead.
+            logger.warning(
+                "libfastio.so ABI %d != expected %d (stale build at %s); "
+                "using the numpy/pandas path. Run `make -B -C native` and "
+                "restart to re-enable the native ingest.", abi,
+                _ABI_VERSION, so)
+            return None
         lib.fio_read_f32.restype = ctypes.c_int64
         lib.fio_read_f32.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]

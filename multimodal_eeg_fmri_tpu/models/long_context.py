@@ -250,8 +250,12 @@ class PipelinedLongContextClassifier:
         elif dropping:
             # sequential twin of the pipelined schedule: the SAME microbatch
             # split and the SAME fold_in(fold_in(key, stage), microbatch)
-            # keys, so dropout masks match the pipelined run exactly
-            n_micro = self.n_micro or 1
+            # keys, so dropout masks match the pipelined run exactly.
+            # n_micro=None must default exactly like pipeline_apply does
+            # (n_stages == num_layers — enforced equal for the mesh case),
+            # or the twins silently derive different key sets (round-4
+            # review finding).
+            n_micro = self.n_micro or self.num_layers
             B = x.shape[0]
             if B % n_micro:
                 raise ValueError(f"batch {B} not divisible by "

@@ -76,6 +76,17 @@ class Trainer:
     def batch_stats(self):
         return None if self._carry is None else self._carry.batch_stats
 
+    @property
+    def eval_params(self):
+        """Parameters used for evaluation/selection: the EMA snapshot when
+        ``cfg.ema_decay>0`` (mirrors the compiled core, train/fit.py:438),
+        the raw training params otherwise."""
+        if self._carry is None:
+            return None
+        if self.cfg.ema_decay and self.cfg.ema_decay > 0:
+            return self._carry.ema_params
+        return self._carry.params
+
     def _host_lr_scale(self) -> float:
         """The LR multiplier for the NEXT epoch, computed host-side —
         mirrors the compiled core's schedule handling (train/fit.py:332)
@@ -119,7 +130,7 @@ class Trainer:
     def evaluate(self, data) -> Dict[str, float]:
         """Full-dataset evaluation with the current params."""
         metrics, _ = evaluate_dataset(
-            self.model, self._carry.params, self._carry.batch_stats,
+            self.model, self.eval_params, self._carry.batch_stats,
             jax.tree_util.tree_map(jnp.asarray, data), task=self.task)
         out = {k: float(v) for k, v in metrics.items()}
         for k, v in out.items():
@@ -132,7 +143,7 @@ class Trainer:
         improved = metric > self.best_metric + self.cfg.min_delta
         if improved:
             self.best_metric = metric
-            self.best_state = (self._carry.params, self._carry.batch_stats)
+            self.best_state = (self.eval_params, self._carry.batch_stats)
             self._bad_epochs = 0
         else:
             self._bad_epochs += 1
@@ -188,6 +199,10 @@ class Trainer:
             plateau_bad=jnp.asarray(0, jnp.int32),
             lr_scale=jnp.asarray(1.0, jnp.float32),
             epoch=jnp.asarray(0, jnp.int32),
+            # the compiled core seeds the Polyak average with the initial
+            # params when EMA is on (train/fit.py:409); a () placeholder
+            # here would be a pytree-structure mismatch against _fit1
+            ema_params=params if (self.cfg.ema_decay or 0) > 0 else (),
         )
 
     def save_checkpoint(self, path: str | Path,
@@ -205,6 +220,8 @@ class Trainer:
             "cur_batch_stats": self._carry.batch_stats,
             "rng": jax.random.key_data(self._carry.rng),
         }
+        if (self.cfg.ema_decay or 0) > 0:
+            extra["ema_params"] = self._carry.ema_params
         trainer_state = {
             "epoch": self.epoch,
             "best_metric": float(self.best_metric),
@@ -248,6 +265,8 @@ class Trainer:
                 "rng": jax.random.key_data(self._carry.rng),
             },
         }
+        if (self.cfg.ema_decay or 0) > 0:
+            template["extra"]["ema_params"] = self._carry.ema_params
         restored = load_checkpoint(path, template=template)
         extra = restored.get("extra") or {}
         cur_params = extra.get("cur_params", restored["params"])
@@ -262,6 +281,11 @@ class Trainer:
             rng = jax.random.wrap_key_data(jnp.asarray(extra["rng"]))
             self._carry = self._carry.replace(rng=rng)
             self.rng = rng
+        if (self.cfg.ema_decay or 0) > 0:
+            # older checkpoints may predate EMA: re-seed from the restored
+            # live params (the compiled core's own initialization choice)
+            self._carry = self._carry.replace(
+                ema_params=extra.get("ema_params", cur_params))
         # best-state: the main params slot holds the best snapshot
         self.best_state = (restored["params"],
                            restored.get("batch_stats", {}))

@@ -377,6 +377,12 @@ int64_t parse_mat_buffer(const char* buf, size_t n, float* out,
 
 extern "C" {
 
+// Bumped whenever any exported signature changes (e.g. the round-4
+// fio_read_mat_batch stride→offsets change). data/native_io.py refuses a
+// library whose version doesn't match its own constant, so a stale
+// pre-change .so can never be called through post-change argtypes.
+int64_t fio_abi_version(void) { return 2; }
+
 // Read a raw float32 binary file into out. Returns elements read, or -1.
 int64_t fio_read_f32(const char* path, float* out, int64_t max_elems) {
   MappedFile mf;

@@ -237,8 +237,11 @@ def test_pipelined_training_with_dropout_matches_sequential():
                       schedule="constant", selection="train_loss",
                       patience=100)
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("stage",))
+    # n_micro=None pins the DEFAULT path: both twins must derive the same
+    # microbatch split (pipeline_apply defaults to n_stages; the sequential
+    # twin must default to num_layers, not 1 — round-4 review finding)
     kw = dict(hidden_dim=32, num_heads=4, patch=2, num_layers=8,
-              n_micro=8, dropout=0.15)
+              n_micro=None, dropout=0.15)
 
     res_pipe = _fit(PipelinedLongContextClassifier(mesh=mesh, **kw),
                     cfg, data, jax.random.key(5))

@@ -251,12 +251,19 @@ def test_ep_training_matches_unsharded():
 
 
 @needs8
-def test_nondividing_experts_warn_once(caplog):
+def test_nondividing_experts_warn_once(caplog, monkeypatch):
     """E not a multiple of the expert-axis size → replicated fallback must
     WARN (once), not silently drop the configured parallelism."""
     import logging
 
     from multimodal_eeg_fmri_tpu.ops import moe as moe_mod
+
+    # Any earlier test that touched core.logging.get_logger sets
+    # propagate=False on the package root logger, which would stop these
+    # records short of caplog's root handler — force propagation here so
+    # the test is order-independent.
+    monkeypatch.setattr(
+        logging.getLogger("multimodal_eeg_fmri_tpu"), "propagate", True)
 
     plan = build_ep_mesh(jax.devices()[:8], data=2, expert=4)
     layer = MoEFFN(d_model=16, num_experts=3, mesh=plan.mesh,

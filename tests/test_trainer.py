@@ -144,3 +144,54 @@ def test_load_checkpoint_before_training(tmp_path):
     tr2.load_checkpoint(tmp_path / "pre_ck", train_data=train)  # no prior fit
     got = tr2.train_one_epoch(train)
     assert got == ref
+
+
+def test_trainer_ema_schedule_and_checkpoint(tmp_path):
+    """EMA through the imperative Trainer (round-4 review finding): a
+    warmup_cosine first epoch routes through _init_carry, which must build
+    the ema_params slot (a () placeholder is a pytree-structure mismatch
+    against the ema-compiled step); eval/selection must use the EMA
+    snapshot; and the EMA must survive a checkpoint round-trip so resumed
+    training stays bit-exact."""
+    data = synthetic_bridge(n_subjects=12, separation=1.5, seed=5)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(8)), 8)
+    val = pad_rows(subset(data, np.arange(8, 12)), 4)
+    cfg = TrainConfig(batch_size=4, num_epochs=6, learning_rate=2e-3,
+                      schedule="warmup_cosine", warmup_epochs=2,
+                      patience=100, ema_decay=0.9)
+
+    def make():
+        return Trainer(BridgeFusionNet(bridge_dim=16), cfg)
+
+    # the crash path: first epoch at scheduled scale != 1 → _init_carry
+    tr_full = make()
+    losses_full = [tr_full.train_one_epoch(train) for _ in range(4)]
+    assert np.all(np.isfinite(losses_full))
+
+    # eval/selection use the EMA snapshot, not the raw params
+    raw = tr_full._carry.params
+    ema = tr_full.eval_params
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        raw, ema)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+    tr_full.evaluate(val)
+    tr_full.update_best(0.5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        tr_full.best_state[0], ema)
+
+    # EMA survives save → load → continue bit-exactly
+    tr_a = make()
+    losses_a = [tr_a.train_one_epoch(train) for _ in range(2)]
+    tr_a.save_checkpoint(tmp_path / "ema_ck")
+    tr_b = make()
+    tr_b.load_checkpoint(tmp_path / "ema_ck", train_data=train)
+    losses_b = [tr_b.train_one_epoch(train) for _ in range(2)]
+    np.testing.assert_array_equal(losses_a + losses_b, losses_full)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        tr_b._carry.ema_params, tr_full._carry.ema_params)
