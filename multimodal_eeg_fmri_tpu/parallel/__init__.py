@@ -35,6 +35,11 @@ from multimodal_eeg_fmri_tpu.parallel.tensor import (
     tp_param_constraint,
     tp_param_specs,
 )
+from multimodal_eeg_fmri_tpu.parallel.fsdp import (
+    fsdp_param_constraint,
+    fsdp_param_specs,
+    shard_params_fsdp,
+)
 from multimodal_eeg_fmri_tpu.parallel.pipeline import (
     pipeline_apply,
     shard_stage_params,
@@ -49,6 +54,9 @@ from multimodal_eeg_fmri_tpu.parallel.expert import (
 
 __all__ = [
     "EPPlan",
+    "fsdp_param_constraint",
+    "fsdp_param_specs",
+    "shard_params_fsdp",
     "build_ep_mesh",
     "ep_param_constraint",
     "ep_param_specs",
