@@ -48,10 +48,19 @@ def fit_resumable(
     class_weights=None,
     chunk_epochs: int = 10,
     keep_chunks: int = 2,
+    async_save: bool = False,
 ) -> FitResult:
     """Train ``cfg.num_epochs`` total in compiled chunks with durable
     checkpoints. Safe to call again after a crash — it resumes from the
-    last complete chunk."""
+    last complete chunk.
+
+    ``async_save=True`` overlaps each chunk's checkpoint DISK write with
+    the next chunk's compute (orbax ``AsyncCheckpointer``): the state is
+    copied to host synchronously (that part is unavoidable and donation-
+    safe — the background writer never touches device buffers), the write
+    happens on a background thread, and the ``_COMPLETE`` marker is only
+    written after ``wait_until_finished`` — so a crash mid-write leaves an
+    incomplete chunk that resume correctly ignores."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = Path(ckpt_dir).absolute()
@@ -71,7 +80,10 @@ def fit_resumable(
         donate_argnums=(5,),
     )
 
-    ckptr = ocp.PyTreeCheckpointer()
+    if async_save:
+        ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    else:
+        ckptr = ocp.PyTreeCheckpointer()
     start = 0
     carry = None
     histories = []
@@ -93,21 +105,40 @@ def fit_resumable(
                      for h in restored["histories"]]
         start = resumed + 1
 
+    def _finalize(cd: Path, chunk: int) -> None:
+        (cd / "_COMPLETE").write_text(json.dumps({"chunk": chunk}))
+        # prune old chunks
+        for old in sorted(ckpt_dir.glob("chunk_*"))[:-keep_chunks]:
+            shutil.rmtree(old, ignore_errors=True)
+
     result = None
+    pending = None  # (dir, chunk) whose async write is still in flight
     for chunk in range(start, n_chunks):
         result = fit_fn(rng, train_data, eval_sets, class_weights,
                         None, carry)
         carry = result.carry
         histories.append(jax.tree_util.tree_map(np.asarray, result.history))
+        # host copy BEFORE the next fit_fn call: the carry is donated, so
+        # the async writer must never hold device buffers
+        state = {"carry": jax.device_get(carry),
+                 # shallow-copy: the background writer must not see the
+                 # next iteration's append
+                 "histories": list(histories)}
+        if pending is not None:
+            ckptr.wait_until_finished()
+            _finalize(*pending)
+            pending = None
         cd = _chunk_dir(ckpt_dir, chunk)
         if cd.exists():
             shutil.rmtree(cd)
-        ckptr.save(cd / "state", {"carry": jax.device_get(carry),
-                                  "histories": histories})
-        (cd / "_COMPLETE").write_text(json.dumps({"chunk": chunk}))
-        # prune old chunks
-        for old in sorted(ckpt_dir.glob("chunk_*"))[:-keep_chunks]:
-            shutil.rmtree(old, ignore_errors=True)
+        ckptr.save(cd / "state", state)
+        if async_save:
+            pending = (cd, chunk)  # overlap the write with the next chunk
+        else:
+            _finalize(cd, chunk)
+    if pending is not None:
+        ckptr.wait_until_finished()
+        _finalize(*pending)
 
     if result is None:  # fully resumed, nothing left to run
         final = carry

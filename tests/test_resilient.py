@@ -66,3 +66,36 @@ def test_resume_after_crash(setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(res.history["train_loss"]),
         np.asarray(mono.history["train_loss"]), rtol=1e-5, atol=1e-6)
+
+
+def test_async_save_matches_sync_and_resumes(setup, tmp_path):
+    """async_save overlaps the disk write with the next chunk; the
+    histories, markers, and crash-resume behavior must be identical to
+    the synchronous path."""
+    model, cfg, train, evals = setup
+    rng = jax.random.key(0)
+
+    res_sync = fit_resumable(model, cfg, rng, train, evals,
+                             tmp_path / "sync", chunk_epochs=2)
+    res_async = fit_resumable(model, cfg, rng, train, evals,
+                              tmp_path / "async", chunk_epochs=2,
+                              async_save=True)
+    np.testing.assert_array_equal(
+        np.asarray(res_async.history["train_loss"]),
+        np.asarray(res_sync.history["train_loss"]))
+    # every chunk was finalized (markers written after wait_until_finished)
+    assert latest_chunk(tmp_path / "async") == latest_chunk(tmp_path / "sync")
+
+    # crash mid-run, then resume THROUGH the async path
+    import dataclasses
+
+    ck = tmp_path / "async_crash"
+    partial_cfg = dataclasses.replace(cfg, num_epochs=4)
+    fit_resumable(model, partial_cfg, rng, train, evals, ck,
+                  chunk_epochs=2, async_save=True)
+    assert latest_chunk(ck) == 1
+    res = fit_resumable(model, cfg, rng, train, evals, ck,
+                        chunk_epochs=2, async_save=True)
+    np.testing.assert_allclose(
+        np.asarray(res.history["train_loss"]),
+        np.asarray(res_sync.history["train_loss"]), rtol=1e-5, atol=1e-6)
