@@ -113,32 +113,39 @@ def fit_resumable(
 
     result = None
     pending = None  # (dir, chunk) whose async write is still in flight
-    for chunk in range(start, n_chunks):
-        result = fit_fn(rng, train_data, eval_sets, class_weights,
-                        None, carry)
-        carry = result.carry
-        histories.append(jax.tree_util.tree_map(np.asarray, result.history))
-        # host copy BEFORE the next fit_fn call: the carry is donated, so
-        # the async writer must never hold device buffers
-        state = {"carry": jax.device_get(carry),
-                 # shallow-copy: the background writer must not see the
-                 # next iteration's append
-                 "histories": list(histories)}
+    try:
+        for chunk in range(start, n_chunks):
+            result = fit_fn(rng, train_data, eval_sets, class_weights,
+                            None, carry)
+            carry = result.carry
+            histories.append(
+                jax.tree_util.tree_map(np.asarray, result.history))
+            # host copy BEFORE the next fit_fn call: the carry is donated,
+            # so the async writer must never hold device buffers
+            state = {"carry": jax.device_get(carry),
+                     # shallow-copy: the background writer must not see the
+                     # next iteration's append
+                     "histories": list(histories)}
+            if pending is not None:
+                ckptr.wait_until_finished()
+                _finalize(*pending)
+                pending = None
+            cd = _chunk_dir(ckpt_dir, chunk)
+            if cd.exists():
+                shutil.rmtree(cd)
+            ckptr.save(cd / "state", state)
+            if async_save:
+                pending = (cd, chunk)  # overlap write with the next chunk
+            else:
+                _finalize(cd, chunk)
         if pending is not None:
             ckptr.wait_until_finished()
             _finalize(*pending)
-            pending = None
-        cd = _chunk_dir(ckpt_dir, chunk)
-        if cd.exists():
-            shutil.rmtree(cd)
-        ckptr.save(cd / "state", state)
-        if async_save:
-            pending = (cd, chunk)  # overlap the write with the next chunk
-        else:
-            _finalize(cd, chunk)
-    if pending is not None:
-        ckptr.wait_until_finished()
-        _finalize(*pending)
+    finally:
+        # shut the async writer's thread pool down; on an exception with a
+        # write in flight this waits for the write but (correctly) never
+        # finalizes it — resume ignores chunks without a _COMPLETE marker
+        ckptr.close()
 
     if result is None:  # fully resumed, nothing left to run
         final = carry
