@@ -108,17 +108,21 @@ def kernel_shap(
     # minimize Σ w_s (f(z_s) − f0 − z_s·φ)²  s.t.  Σφ = fx − f0
     # eliminate the constraint by substituting the last feature; solve with
     # minimum-norm lstsq (the system is underdetermined when n_samples < M,
-    # e.g. high-dimensional flattened-modal inputs).
+    # e.g. high-dimensional flattened-modal inputs). The left-hand side is
+    # the SAME for every explained sample — only the rank-1
+    # ``Z[:,-1]·total_i`` term of the RHS differs — so all N solves share
+    # one factorization as a single multi-RHS lstsq (one SVD of (S, M−1)
+    # instead of N of them; at EEG scale M ~ 2·10⁴ flattened features the
+    # per-sample loop was the estimator's actual bottleneck).
     Zl = Z[:, :-1] - Z[:, -1:]                        # (S, M-1)
     sw = np.sqrt(w)
     A = Zl * sw[:, None]
-    phis = np.zeros((N, M), np.float32)
-    total = fx - f0
-    for i in range(N):
-        y = fz[i] - f0 - Z[:, -1] * total[i]
-        phi_rest, *_ = np.linalg.lstsq(A, sw * y, rcond=None)
-        phis[i, :-1] = phi_rest
-        phis[i, -1] = total[i] - phi_rest.sum()
+    total = fx - f0                                    # (N,)
+    Yw = sw[:, None] * (fz.T - f0 - Z[:, -1:] * total[None, :])  # (S, N)
+    phi_rest, *_ = np.linalg.lstsq(A, Yw, rcond=None)  # (M-1, N)
+    phis = np.empty((N, M), np.float32)
+    phis[:, :-1] = phi_rest.T
+    phis[:, -1] = total - phi_rest.sum(axis=0)
     return phis
 
 
