@@ -68,8 +68,13 @@ def build_service(seed: int = 0):
     return served, qhat, data
 
 
-def make_handler(served, qhat):
+def make_handler(served, qhat, health_extra=None):
     import numpy as np
+
+    # ``served`` may be the Predictor itself or a DynamicBatcher around it
+    temperature = getattr(
+        served, "temperature",
+        getattr(getattr(served, "predictor", None), "temperature", None))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -86,8 +91,9 @@ def make_handler(served, qhat):
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok",
-                                 "temperature": served.temperature,
-                                 "conformal_qhat": qhat})
+                                 "temperature": temperature,
+                                 "conformal_qhat": qhat,
+                                 **(health_extra() if health_extra else {})})
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -127,33 +133,57 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from multimodal_eeg_fmri_tpu.serving import DynamicBatcher
+
     served, qhat, data = build_service()
-    server = ThreadingHTTPServer(("127.0.0.1", args.port),
-                                 make_handler(served, qhat))
+    # ThreadingHTTPServer handles each client on its own thread; the
+    # DynamicBatcher coalesces those concurrent rows into one device call
+    # per flush window instead of one per request
+    batcher = DynamicBatcher(served, max_delay_ms=5.0)
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", args.port),
+        make_handler(batcher, qhat,
+                     health_extra=lambda: {"device_calls": batcher.batches,
+                                           "rows_served": batcher.rows}))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     print(f"serving on http://127.0.0.1:{args.port}  "
           f"(T={served.temperature:.3f}, qhat={qhat:.3f})")
 
-    # self-test client round trip
+    # self-test: 6 CONCURRENT single-row clients, then check the batcher
+    # coalesced them into fewer device calls
     import urllib.request
 
+    def post_one(i, out_list):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{args.port}/predict",
+            data=json.dumps({k: data[k][i:i + 1].tolist()
+                             for k in ("erp", "pw", "conn")}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out_list[i] = json.loads(r.read())
+
+    outs = [None] * 6
+    clients = [threading.Thread(target=post_one, args=(i, outs))
+               for i in range(6)]
+    for c in clients:
+        c.start()
+    for c in clients:
+        c.join()
     with urllib.request.urlopen(
             f"http://127.0.0.1:{args.port}/health", timeout=30) as r:
-        print("health:", json.loads(r.read()))
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{args.port}/predict",
-        data=json.dumps({k: data[k][:3].tolist()
-                         for k in ("erp", "pw", "conn")}).encode(),
-        headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=60) as r:
-        out = json.loads(r.read())
-    print("predict:", {"prediction": out["prediction"],
-                       "defer": out["defer"],
-                       "probs[0]": [round(p, 3) for p in out["probs"][0]]})
+        health = json.loads(r.read())
+    print("health:", health)
+    print("predict[0]:", {"prediction": outs[0]["prediction"],
+                          "defer": outs[0]["defer"],
+                          "probs": [round(p, 3)
+                                    for p in outs[0]["probs"][0]]})
+    print(f"6 concurrent requests served in {health['device_calls']} "
+          f"device call(s)")
 
     if args.oneshot:
         server.shutdown()
+        batcher.close()
         print("oneshot done")
     else:
         t.join()

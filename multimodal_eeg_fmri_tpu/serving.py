@@ -423,3 +423,135 @@ class EnsemblePredictor:
         out = np.concatenate(outs, axis=axis)
         assert out.shape[axis] == n
         return out
+
+
+class _Request:
+    __slots__ = ("inputs", "n", "event", "result", "error")
+
+    def __init__(self, inputs, n):
+        import threading
+
+        self.inputs = inputs
+        self.n = n
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class DynamicBatcher:
+    """Coalesce concurrent small requests into one compiled device call.
+
+    The clinical serving pattern is one subject per request; issuing each
+    as its own device call pays the full dispatch (and, on tunneled
+    backends, link round-trip) per row and leaves the compiled batch
+    mostly padding. ``DynamicBatcher`` wraps any ``Predictor`` /
+    ``EnsemblePredictor`` (or plain ``fn(**inputs) -> array`` whose output
+    leads with the batch axis) behind the SAME calling convention, but
+    queues rows from concurrent callers and flushes them as one batch when
+    either ``max_batch`` rows are waiting or the oldest request has waited
+    ``max_delay_ms`` — the TF-Serving/Triton dynamic-batching contract.
+
+    Thread-safe; callers block only for their own result. Requests with
+    different input-key sets are flushed as separate calls (never mixed).
+    The reference has no serving story at all (SURVEY §1: research scripts
+    only); this is deployment surface the rebuild adds.
+    """
+
+    def __init__(self, predictor: Callable, max_delay_ms: float = 5.0,
+                 max_batch: Optional[int] = None):
+        import threading
+
+        if max_delay_ms < 0:
+            raise ValueError(f"max_delay_ms must be >= 0, got {max_delay_ms}")
+        if getattr(predictor, "reduce", None) == "none":
+            raise ValueError(
+                "EnsemblePredictor(reduce='none') returns (K, N, C) — the "
+                "batch axis is not leading, so per-request slicing would "
+                "silently cut the member axis; wrap a reducing ensemble "
+                "(reduce='mean'/'vote') instead")
+        self.predictor = predictor  # public: the wrapped callable
+        self._predictor = predictor
+        self._delay = max_delay_ms / 1e3
+        self._max = int(max_batch
+                        or getattr(predictor, "batch_size", None) or 8)
+        self._cv = threading.Condition()
+        self._queue: list = []  # (enqueue_time, _Request)
+        self._closed = False
+        # observability: device calls issued vs rows served — the
+        # coalescing ratio is rows/batches
+        self.batches = 0
+        self.rows = 0
+        self._worker = threading.Thread(
+            target=self._run, name="dynamic-batcher", daemon=True)
+        self._worker.start()
+
+    def __call__(self, **inputs) -> np.ndarray:
+        """Enqueue one request (any row count) and block for its slice of
+        the batched result."""
+        inputs = {k: np.asarray(v) for k, v in inputs.items()
+                  if k not in RESERVED_KEYS}
+        if not inputs:
+            raise ValueError("empty request")
+        req = _Request(inputs, len(next(iter(inputs.values()))))
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._queue.append((time.monotonic(), req))
+            self._cv.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue and self._closed:
+                    return
+                deadline = self._queue[0][0] + self._delay
+                while (sum(r.n for _, r in self._queue) < self._max
+                       and not self._closed):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch, self._queue = self._queue, []
+            # group by key set — heterogeneous requests never mix
+            groups: Dict[frozenset, list] = {}
+            for _, r in batch:
+                groups.setdefault(frozenset(r.inputs), []).append(r)
+            for reqs in groups.values():
+                try:
+                    joined = {
+                        k: (np.concatenate([r.inputs[k] for r in reqs])
+                            if len(reqs) > 1 else reqs[0].inputs[k])
+                        for k in reqs[0].inputs
+                    }
+                    out = np.asarray(self._predictor(**joined))
+                    self.batches += 1
+                    self.rows += sum(r.n for r in reqs)
+                    off = 0
+                    for r in reqs:
+                        r.result = out[off:off + r.n]
+                        off += r.n
+                except Exception as e:  # deliver, don't kill the worker
+                    for r in reqs:
+                        r.error = e
+                finally:
+                    for r in reqs:
+                        r.event.set()
+
+    def close(self):
+        """Drain the queue and stop the worker (idempotent)."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

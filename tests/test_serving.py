@@ -217,3 +217,80 @@ def test_ensemble_export_artifact_roundtrip(fold_models, tmp_path):
                  fmri=jnp.asarray(example["fmri"]))
     want = ens(**example)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_dynamic_batcher_coalesces_concurrent_requests(trained):
+    """32 concurrent single-row requests come back row-exact vs the direct
+    predictor AND are served in far fewer device calls than requests."""
+    import threading
+
+    from multimodal_eeg_fmri_tpu.serving import DynamicBatcher
+
+    model, variables, data = trained
+    p = Predictor(model, variables["params"], variables.get("batch_stats"),
+                  batch_size=8)
+    want = p(eeg=data["eeg"], fmri=data["fmri"])
+    # warm the compile BEFORE timing-sensitive concurrency
+    n = len(data["eeg"])
+    results = [None] * n
+    with DynamicBatcher(p, max_delay_ms=50.0, max_batch=8) as b:
+        def one(i):
+            results[i] = b(eeg=data["eeg"][i:i + 1],
+                           fmri=data["fmri"][i:i + 1])
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        batches, rows = b.batches, b.rows
+    assert rows == n
+    assert batches < n, (batches, n)  # coalescing actually happened
+    got = np.concatenate(results, axis=0)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_dynamic_batcher_multirow_and_deadline(trained):
+    """A single request (no peers) flushes on the deadline, with any row
+    count, and matches the direct predictor."""
+    from multimodal_eeg_fmri_tpu.serving import DynamicBatcher
+
+    model, variables, data = trained
+    p = Predictor(model, variables["params"], variables.get("batch_stats"),
+                  batch_size=8)
+    with DynamicBatcher(p, max_delay_ms=1.0) as b:
+        got = b(eeg=data["eeg"][:5], fmri=data["fmri"][:5])
+    np.testing.assert_allclose(
+        got, p(eeg=data["eeg"][:5], fmri=data["fmri"][:5]),
+        rtol=2e-4, atol=2e-5)
+    assert got.shape == (5, 2)
+
+
+def test_dynamic_batcher_error_delivery_and_close(trained):
+    """A failing underlying call raises in the CALLER (worker survives for
+    the next request); calls after close() raise."""
+    from multimodal_eeg_fmri_tpu.serving import DynamicBatcher
+
+    model, variables, data = trained
+    p = Predictor(model, variables["params"], variables.get("batch_stats"),
+                  batch_size=8)
+    b = DynamicBatcher(p, max_delay_ms=1.0)
+    with pytest.raises(Exception):
+        b(eeg=data["eeg"][:1])  # missing fmri → model.apply raises
+    # worker is still alive and serves the next, valid request
+    out = b(eeg=data["eeg"][:1], fmri=data["fmri"][:1])
+    assert out.shape == (1, 2)
+    b.close()
+    b.close()  # idempotent
+    with pytest.raises(RuntimeError):
+        b(eeg=data["eeg"][:1], fmri=data["fmri"][:1])
+
+
+def test_dynamic_batcher_rejects_nonleading_batch_axis(fold_models):
+    from multimodal_eeg_fmri_tpu.serving import DynamicBatcher
+
+    model, _, stacked, _ = fold_models
+    ens = EnsemblePredictor(model, stacked, batch_size=8, reduce="none")
+    with pytest.raises(ValueError):
+        DynamicBatcher(ens)
