@@ -146,9 +146,13 @@ def make_fit_fn(
     ``eval_names``. The returned function is pure → vmap/shard freely.
 
     ``param_sharding`` (optional ``params → params``) pins a tensor-parallel
-    layout on the freshly-initialized params (see
-    ``parallel.tensor.tp_param_constraint``); when resuming via
-    ``resume_carry`` the carried params' existing sharding wins instead.
+    / FSDP layout on the freshly-initialized params (see
+    ``parallel.tensor.tp_param_constraint`` /
+    ``parallel.fsdp.fsdp_param_constraint``); when resuming via
+    ``resume_carry`` the same layout is re-pinned on every params-shaped
+    tree in the carry (params, best/EMA snapshots, optimizer moments) —
+    a checkpoint-restored carry arrives as unsharded host arrays and must
+    not silently train replicated.
 
     Buffer donation happens at the CALLER's outermost ``jax.jit`` (an inner
     jit's donation is ignored under an outer jit/vmap). Measured outcomes
@@ -390,6 +394,22 @@ def make_fit_fn(
 
         if resume_carry is not None:
             carry = resume_carry
+            if param_sharding is not None:
+                # re-pin the declared layout on every param-like tree in
+                # the carry: a carry restored from a checkpoint arrives as
+                # host arrays with NO sharding (train/resilient.py), and
+                # "whatever the carry has" would silently train unsharded
+                # (replicated params/opt-state — the exact memory ceiling
+                # FSDP exists to remove). Matching by pytree structure
+                # covers params, the best/EMA snapshots, and the optimizer
+                # moments (optax mu/nu are params-shaped) without knowing
+                # the optimizer's state layout.
+                pdef = jax.tree_util.tree_structure(carry.params)
+                is_params_like = (
+                    lambda t: jax.tree_util.tree_structure(t) == pdef)
+                carry = jax.tree_util.tree_map(
+                    lambda t: param_sharding(t) if is_params_like(t) else t,
+                    carry, is_leaf=is_params_like)
         else:
             carry = _Carry(
                 params=params,

@@ -49,10 +49,17 @@ def fit_resumable(
     chunk_epochs: int = 10,
     keep_chunks: int = 2,
     async_save: bool = False,
+    param_sharding: Optional[Callable] = None,
 ) -> FitResult:
     """Train ``cfg.num_epochs`` total in compiled chunks with durable
     checkpoints. Safe to call again after a crash — it resumes from the
     last complete chunk.
+
+    ``param_sharding`` (e.g. ``parallel.fsdp.fsdp_param_constraint(mesh)``
+    or ``parallel.tensor.tp_param_constraint(plan)``) pins the sharded
+    layout inside every chunk — including on the carry restored after a
+    crash, which arrives as unsharded host arrays and is re-pinned by
+    ``make_fit_fn`` (fault-tolerant FSDP/TP training).
 
     ``async_save=True`` overlaps each chunk's checkpoint DISK write with
     the next chunk's compute (orbax ``AsyncCheckpointer``): the state is
@@ -76,7 +83,8 @@ def fit_resumable(
     # touched after the call (only the NEW carry is checkpointed).
     fit_fn = jax.jit(
         make_fit_fn(model, cfg, num_epochs=chunk_epochs,
-                    eval_names=tuple(eval_sets.keys())),
+                    eval_names=tuple(eval_sets.keys()),
+                    param_sharding=param_sharding),
         donate_argnums=(5,),
     )
 
@@ -100,7 +108,21 @@ def fit_resumable(
                     "histories": [shape_res.history] * n_hist}
         restored = ckptr.restore(_chunk_dir(ckpt_dir, resumed) / "state",
                                  item=template)
-        carry = restored["carry"]
+
+        def _uncommit(x):
+            # orbax restores ndarray leaves as host numpy (uncommitted),
+            # but typed PRNG-key leaves come back as jax arrays COMMITTED
+            # to device 0 — which jit rejects alongside mesh-committed
+            # training data (sharded resume, e.g. FSDP). Round-trip the
+            # key through its raw bits to get an uncommitted key again.
+            if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+                    x.dtype, jax.dtypes.prng_key):
+                return jax.random.wrap_key_data(
+                    np.asarray(jax.random.key_data(x)),
+                    impl=jax.random.key_impl(x))
+            return x
+
+        carry = jax.tree_util.tree_map(_uncommit, restored["carry"])
         histories = [jax.tree_util.tree_map(np.asarray, h)
                      for h in restored["histories"]]
         start = resumed + 1

@@ -190,3 +190,59 @@ def test_fsdp_tp_2d_training_matches_unsharded():
             np.asarray(res_2d.history[key]),
             np.asarray(res_ref.history[key]),
             atol=1e-4, rtol=1e-4, err_msg=key)
+
+
+@needs8
+def test_fsdp_resumable_grad_accum_ema_crash_resume(tmp_path):
+    """The production composition — FSDP layout × gradient accumulation ×
+    EMA × chunked (async) checkpointing × crash-resume — trains as ONE
+    story: the interrupted FSDP run's full history equals the
+    uninterrupted UNSHARDED run's, and the post-restore carry actually
+    trains sharded (the restored host arrays are re-pinned, not silently
+    replicated)."""
+    import dataclasses
+
+    from multimodal_eeg_fmri_tpu.train.resilient import (
+        fit_resumable,
+        latest_chunk,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    model = TriModalFusionNetV4(hidden_dim=32, num_transformer_layers=1,
+                                num_heads=4, dropout=0.0)
+    train, val, train_s, val_s = _fsdp_data(mesh)
+    rng = jax.random.key(3)
+    cfg = TrainConfig(batch_size=16, num_epochs=6, learning_rate=3e-3,
+                      schedule="constant", selection="val", patience=100,
+                      grad_accum=2, ema_decay=0.9)
+
+    # oracle: uninterrupted, unsharded, synchronous saves
+    ref = fit_resumable(model, cfg, rng, train, {"val": val},
+                        tmp_path / "ref", chunk_epochs=2)
+
+    # FSDP + async saves, "crashed" after chunk 1 (2 of 3 chunks)
+    constraint = fsdp_param_constraint(mesh)
+    partial_cfg = dataclasses.replace(cfg, num_epochs=4)
+    fit_resumable(model, partial_cfg, rng, train_s, {"val": val_s},
+                  tmp_path / "fsdp", chunk_epochs=2, async_save=True,
+                  param_sharding=constraint)
+    assert latest_chunk(tmp_path / "fsdp") == 1
+
+    res = fit_resumable(model, cfg, rng, train_s, {"val": val_s},
+                        tmp_path / "fsdp", chunk_epochs=2, async_save=True,
+                        param_sharding=constraint)
+    for k in ("train_loss", "val_f1"):
+        np.testing.assert_allclose(
+            np.asarray(res.history[k]), np.asarray(ref.history[k]),
+            rtol=2e-4, atol=2e-5,
+            err_msg=f"FSDP crash-resume history[{k!r}] != unsharded oracle")
+
+    # the post-restore chunk really trained sharded: its carried params
+    # (restored from disk as host arrays, then re-pinned by make_fit_fn)
+    # come back distributed over ``data``
+    sharded = [
+        l for l in jax.tree_util.tree_leaves(res.carry.params)
+        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+    ]
+    assert sharded, "post-resume params are fully replicated — the " \
+                    "restored carry was not re-pinned"
