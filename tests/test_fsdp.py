@@ -246,3 +246,71 @@ def test_fsdp_resumable_grad_accum_ema_crash_resume(tmp_path):
     ]
     assert sharded, "post-resume params are fully replicated — the " \
                     "restored carry was not re-pinned"
+
+
+@needs8
+def test_fsdp_composes_with_ep_and_trains_moe():
+    """FSDP over ``data`` composed with expert parallelism over ``expert``
+    (specs extended, never overwritten) trains the MoE long-context model
+    equal to the fully-unsharded run."""
+    from multimodal_eeg_fmri_tpu.models import LongContextClassifier
+    from multimodal_eeg_fmri_tpu.parallel.expert import (
+        build_ep_mesh,
+        ep_param_specs,
+    )
+
+    ep_plan = build_ep_mesh(jax.devices()[:8], data=2, expert=4)
+    mesh = ep_plan.mesh
+
+    def moe_model(m):
+        return LongContextClassifier(
+            hidden_dim=16, num_layers=1, num_heads=2, dropout=0.0,
+            num_experts=4, mesh=m, expert_axis="expert" if m else None)
+
+    r = np.random.default_rng(2)
+    y = (np.arange(16) % 2).astype(np.int64)
+    x = r.standard_normal((16, 32, 4)).astype(np.float32)
+    x += 0.4 * (y * 2 - 1)[:, None, None]
+    data = {"erp": x, "label": y, "weight": np.ones(16, np.float32)}
+    sh = lambda a: NamedSharding(mesh, P("data", *([None] * (np.ndim(a) - 1))))
+    data_s = jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a), sh(a)), data)
+    cfg = TrainConfig(batch_size=8, num_epochs=2, learning_rate=1e-3,
+                      schedule="constant", selection="train_loss",
+                      patience=100)
+
+    def constraint(params):
+        base = ep_param_specs(params, 4)
+        from flax import traverse_util
+
+        from multimodal_eeg_fmri_tpu.parallel.fsdp import fsdp_param_specs
+        specs = traverse_util.flatten_dict(
+            fsdp_param_specs(params, n_shard=2, min_size=2 ** 6, base=base))
+        flat = traverse_util.flatten_dict(params)
+        # EP placements survive; at least one leaf carries the 2D layout
+        base_flat = traverse_util.flatten_dict(base)
+        two_d = 0
+        for path, spec in specs.items():
+            axes = [a for a in tuple(spec) if a is not None]
+            if base_flat[path] != P():
+                assert "expert" in axes, path
+            if "expert" in axes and "data" in axes:
+                two_d += 1
+        assert two_d >= 1, "no leaf carries the EP x FSDP 2D layout"
+        return traverse_util.unflatten_dict({
+            p: jax.lax.with_sharding_constraint(
+                flat[p], NamedSharding(mesh, s))
+            for p, s in specs.items()})
+
+    fit_s = make_fit_fn(moe_model(mesh), cfg, eval_names=(),
+                        param_sharding=constraint)
+    res_s = jax.jit(fit_s)(jax.random.key(0), data_s, {}, None)
+    fit_ref = make_fit_fn(moe_model(None), cfg, eval_names=())
+    res_ref = jax.jit(fit_ref)(
+        jax.random.key(0), jax.tree_util.tree_map(jnp.asarray, data), {},
+        None)
+    np.testing.assert_allclose(
+        np.asarray(res_s.history["train_loss"]),
+        np.asarray(res_ref.history["train_loss"]),
+        rtol=2e-4, atol=2e-5,
+        err_msg="EPxFSDP MoE training != unsharded reference")

@@ -294,3 +294,27 @@ def test_dynamic_batcher_rejects_nonleading_batch_axis(fold_models):
     ens = EnsemblePredictor(model, stacked, batch_size=8, reduce="none")
     with pytest.raises(ValueError):
         DynamicBatcher(ens)
+
+
+def test_dynamic_batcher_wraps_reducing_ensemble(fold_models):
+    """The batcher serves a reducing (mean) K-model ensemble: concurrent
+    rows equal the direct ensemble output."""
+    import threading
+
+    from multimodal_eeg_fmri_tpu.serving import DynamicBatcher
+
+    model, _, stacked, data = fold_models
+    ens = EnsemblePredictor(model, stacked, batch_size=8)
+    want = ens(eeg=data["eeg"][:8], fmri=data["fmri"][:8])
+    results = [None] * 8
+    with DynamicBatcher(ens, max_delay_ms=50.0, max_batch=8) as b:
+        threads = [
+            threading.Thread(target=lambda i=i: results.__setitem__(
+                i, b(eeg=data["eeg"][i:i + 1], fmri=data["fmri"][i:i + 1])))
+            for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    np.testing.assert_allclose(np.concatenate(results), want,
+                               rtol=2e-4, atol=2e-5)
