@@ -1,0 +1,136 @@
+"""Production training recipe: every scaling/reliability feature at once.
+
+Composes, in ONE run, the pieces a long production job needs:
+
+- an (8-device) ``data`` mesh with **FSDP/ZeRO-3** parameter + optimizer
+  sharding (`parallel.fsdp.fsdp_param_constraint`) — batch sharded over
+  the same axis;
+- **exact gradient accumulation** (`TrainConfig.grad_accum`) and **EMA
+  weight averaging** (`TrainConfig.ema_decay`) fused into the compiled
+  step;
+- **fault-tolerant chunked training** (`train.resilient.fit_resumable`)
+  with **async checkpointing** — each chunk's disk write overlaps the next
+  chunk's compute, and a kill mid-run resumes bit-consistently (the
+  restored carry is re-pinned to the FSDP layout, not silently
+  replicated);
+- metrics logged per epoch and exported to TensorBoard event files.
+
+The reference has none of this (SURVEY §5: single-GPU, best-state
+deepcopy, crash = restart the fold). Runs on CPU with 8 virtual devices —
+the same code places onto a v5e-8's ICI mesh unchanged (docs/DEPLOY.md).
+
+Run: python examples/production_training.py            (~2-3 min on CPU)
+"""
+
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import dataclasses  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+from multimodal_eeg_fmri_tpu.core.config import TrainConfig  # noqa: E402
+from multimodal_eeg_fmri_tpu.core.logging import MetricsLogger  # noqa: E402
+from multimodal_eeg_fmri_tpu.data import (  # noqa: E402
+    pad_rows,
+    subset,
+    synthetic_eeg_trimodal,
+)
+from multimodal_eeg_fmri_tpu.models import TriModalFusionNetV4  # noqa: E402
+from multimodal_eeg_fmri_tpu.parallel.fsdp import (  # noqa: E402
+    fsdp_param_constraint,
+)
+from multimodal_eeg_fmri_tpu.train.resilient import (  # noqa: E402
+    fit_resumable,
+    latest_chunk,
+)
+
+
+def main():
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    print(f"mesh: {mesh.shape} on {jax.devices()[0].platform}")
+
+    # --- data: batch sharded over the same axis FSDP shards params on ---
+    data = synthetic_eeg_trimodal(n_subjects=48, time_steps=64,
+                                  separation=1.5, seed=0)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(32)), 32)
+    val = pad_rows(subset(data, np.arange(32, 48)), 16)
+    shard = lambda x: NamedSharding(
+        mesh, P("data", *([None] * (np.ndim(x) - 1))))
+    dev = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), shard(x)), t)
+    train_s, val_s = dev(train), dev(val)
+
+    cfg = TrainConfig(
+        batch_size=16, num_epochs=12, learning_rate=2e-3,
+        schedule="warmup_cosine", selection="val", patience=100,
+        grad_accum=2,          # 2 microbatches of 8 — exact, not approximate
+        ema_decay=0.95,        # eval/selection on the EMA snapshot
+    )
+    model = TriModalFusionNetV4(hidden_dim=32, num_transformer_layers=1,
+                                num_heads=4, dropout=0.0)
+    constraint = fsdp_param_constraint(mesh)
+
+    ckpt_dir = Path(tempfile.mkdtemp(prefix="prod_train_"))
+    rng = jax.random.key(0)
+
+    # --- phase 1: run 2 of 3 chunks, then "crash" -----------------------
+    partial_cfg = dataclasses.replace(cfg, num_epochs=8)
+    fit_resumable(model, partial_cfg, rng, train_s, {"val": val_s},
+                  ckpt_dir, chunk_epochs=4, async_save=True,
+                  param_sharding=constraint)
+    print(f"simulated crash after chunk {latest_chunk(ckpt_dir)} "
+          f"(epochs 0-7 trained, checkpointed asynchronously)")
+
+    # --- phase 2: restart with the full budget — resumes, not restarts --
+    res = fit_resumable(model, cfg, rng, train_s, {"val": val_s},
+                        ckpt_dir, chunk_epochs=4, async_save=True,
+                        param_sharding=constraint)
+    loss = np.asarray(res.history["train_loss"])
+    f1 = np.asarray(res.history["val_f1"])
+    print(f"resumed to {len(loss)} total epochs; "
+          f"loss {loss[0]:.3f} -> {loss[-1]:.3f}; "
+          f"best val F1 {float(res.best_metric):.3f} "
+          f"(EMA-evaluated, epoch {int(res.best_epoch)})")
+
+    # --- proof the post-resume state is actually ZeRO-sharded -----------
+    sharded = [l for l in jax.tree_util.tree_leaves(res.carry.params)
+               if hasattr(l, "sharding")
+               and not l.sharding.is_fully_replicated]
+    total = len(jax.tree_util.tree_leaves(res.carry.params))
+    one = sharded[0]
+    frac = one.addressable_shards[0].data.size / one.size
+    print(f"{len(sharded)}/{total} param leaves sharded over 'data' "
+          f"({frac:.3f} of each on device 0 — 1/8th); optimizer state "
+          f"matches the param layout")
+
+    # --- observability: per-epoch metrics -> TensorBoard event files ----
+    logger = MetricsLogger()
+    for e in range(len(loss)):
+        logger.log(step=e, train_loss=float(loss[e]), val_f1=float(f1[e]))
+    tb_dir = ckpt_dir / "tb"
+    logger.to_tensorboard(tb_dir)
+    events = list(Path(tb_dir).rglob("events.*"))
+    print(f"TensorBoard events written: {events[0].name}")
+    assert loss[-1] < loss[0] and len(loss) == cfg.num_epochs
+    print("production recipe complete")
+
+
+if __name__ == "__main__":
+    main()
