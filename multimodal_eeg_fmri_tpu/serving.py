@@ -468,9 +468,8 @@ class DynamicBatcher:
                 "EnsemblePredictor(reduce='none') returns (K, N, C) — the "
                 "batch axis is not leading, so per-request slicing would "
                 "silently cut the member axis; wrap a reducing ensemble "
-                "(reduce='mean'/'vote') instead")
+                "(reduce='mean_probs') instead")
         self.predictor = predictor  # public: the wrapped callable
-        self._predictor = predictor
         self._delay = max_delay_ms / 1e3
         self._max = int(max_batch
                         or getattr(predictor, "batch_size", None) or 8)
@@ -529,7 +528,7 @@ class DynamicBatcher:
                             if len(reqs) > 1 else reqs[0].inputs[k])
                         for k in reqs[0].inputs
                     }
-                    out = np.asarray(self._predictor(**joined))
+                    out = np.asarray(self.predictor(**joined))
                     self.batches += 1
                     self.rows += sum(r.n for r in reqs)
                     off = 0

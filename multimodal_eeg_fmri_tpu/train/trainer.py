@@ -254,20 +254,34 @@ class Trainer:
                     "train_one_epoch/fit first")
             self._carry = self._init_carry(train_data)
 
-        template = {
-            "params": self._carry.params,
-            "batch_stats": self._carry.batch_stats,
-            "opt_state": self._carry.opt_state,
-            "step": np.asarray(0),
-            "extra": {
-                "cur_params": self._carry.params,
-                "cur_batch_stats": self._carry.batch_stats,
-                "rng": jax.random.key_data(self._carry.rng),
-            },
-        }
-        if (self.cfg.ema_decay or 0) > 0:
-            template["extra"]["ema_params"] = self._carry.ema_params
-        restored = load_checkpoint(path, template=template)
+        def _restore(with_ema: bool):
+            template = {
+                "params": self._carry.params,
+                "batch_stats": self._carry.batch_stats,
+                "opt_state": self._carry.opt_state,
+                "step": np.asarray(0),
+                "extra": {
+                    "cur_params": self._carry.params,
+                    "cur_batch_stats": self._carry.batch_stats,
+                    "rng": jax.random.key_data(self._carry.rng),
+                },
+            }
+            if with_ema:
+                # params-shaped template even when this trainer has EMA
+                # off — carry.ema_params is () then
+                template["extra"]["ema_params"] = self._carry.params
+            return load_checkpoint(path, template=template)
+
+        want_ema = (self.cfg.ema_decay or 0) > 0
+        try:
+            restored = _restore(want_ema)
+        except ValueError:
+            # the checkpoint was written with the OPPOSITE EMA setting —
+            # orbax rejects the structure mismatch in either direction.
+            # Retry with the other template; a restored-but-unwanted EMA
+            # tree is simply dropped, and a missing-but-wanted one is
+            # re-seeded from the restored live params below.
+            restored = _restore(not want_ema)
         extra = restored.get("extra") or {}
         cur_params = extra.get("cur_params", restored["params"])
         cur_bs = extra.get("cur_batch_stats",

@@ -195,3 +195,35 @@ def test_trainer_ema_schedule_and_checkpoint(tmp_path):
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)),
         tr_b._carry.ema_params, tr_full._carry.ema_params)
+
+
+def test_trainer_checkpoint_ema_setting_cross_load(tmp_path):
+    """A checkpoint saved WITHOUT EMA loads into an EMA-enabled trainer
+    (EMA re-seeds from the restored live params) and vice versa — the
+    orbax template structure mismatch must not surface (round-4 review:
+    the promised fallback was unreachable dead code)."""
+    data = synthetic_bridge(n_subjects=8, separation=1.5, seed=6)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(8)), 8)
+    base = dict(batch_size=4, num_epochs=4, learning_rate=2e-3,
+                schedule="constant", patience=100)
+
+    # save without EMA → load with EMA
+    tr0 = Trainer(BridgeFusionNet(bridge_dim=16), TrainConfig(**base))
+    tr0.train_one_epoch(train)
+    tr0.save_checkpoint(tmp_path / "no_ema")
+    tr1 = Trainer(BridgeFusionNet(bridge_dim=16),
+                  TrainConfig(**base, ema_decay=0.9))
+    tr1.load_checkpoint(tmp_path / "no_ema", train_data=train)
+    # EMA seeded from the restored live params
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(tr1._carry.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(tr1._carry.params)[0]))
+    assert np.isfinite(tr1.train_one_epoch(train))
+
+    # save with EMA → load without EMA (restored EMA tree is dropped)
+    tr1.save_checkpoint(tmp_path / "with_ema")
+    tr2 = Trainer(BridgeFusionNet(bridge_dim=16), TrainConfig(**base))
+    tr2.load_checkpoint(tmp_path / "with_ema", train_data=train)
+    assert tr2._carry.ema_params == ()
+    assert np.isfinite(tr2.train_one_epoch(train))
