@@ -263,14 +263,20 @@ def bench_fmri_volumes() -> dict:
 def _probe_backend(timeout_s: int = 240) -> str:
     """Check (in a SUBPROCESS — a wedged tunnel hangs backend init
     uninterruptibly in C, so an in-process timeout cannot fire) whether
-    the default backend comes up. Returns the platform to use."""
+    the default backend comes up AND answers a real computation: a
+    half-recovered tunnel has been observed to register the platform,
+    list devices, and then hang on the first executed op — probing
+    ``jax.devices()`` alone would green-light a bench run that wedges.
+    Returns the platform to use."""
     import subprocess
     import sys
 
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+             "import jax, jax.numpy as jnp; "
+             "assert float(jnp.ones(3).sum()) == 3.0; "
+             "print(jax.devices()[0].platform)"],
             capture_output=True, timeout=timeout_s, text=True)
         if r.returncode == 0 and r.stdout.strip():
             return r.stdout.strip().splitlines()[-1]

@@ -264,7 +264,10 @@ class EnsemblePredictor:
     cross-member op is the final probability mean).
 
     ``reduce="mean_probs"`` returns the late-fusion average ``(n, classes)``;
-    ``reduce="none"`` returns per-member probabilities ``(K, n, classes)``.
+    ``reduce="vote"`` returns per-class majority-vote fractions
+    ``(n, classes)`` (argmax = the reference's LOSO subject-level majority
+    vote, `CrossModal_EEG_scr.ipynb §31`); ``reduce="none"`` returns
+    per-member probabilities ``(K, n, classes)``.
     """
 
     def __init__(
@@ -278,7 +281,7 @@ class EnsemblePredictor:
         reduce: str = "mean_probs",
         temperature: Optional[float] = None,
     ):
-        if reduce not in ("mean_probs", "none"):
+        if reduce not in ("mean_probs", "vote", "none"):
             raise ValueError(f"unknown reduce={reduce!r}")
         self.model = model
         self.batch_size = batch_size
@@ -342,6 +345,13 @@ class EnsemblePredictor:
             probs = _members(variables, inputs)
             if reduce == "mean_probs":
                 return probs.mean(axis=0)
+            if reduce == "vote":
+                # per-class vote fractions: argmax of the output is the
+                # members' majority vote (rows still sum to 1, so the
+                # (n, classes) serving contract is unchanged)
+                votes = jax.nn.one_hot(jnp.argmax(probs, axis=-1),
+                                       probs.shape[-1], dtype=probs.dtype)
+                return votes.mean(axis=0)
             return probs
 
         self._variables = variables

@@ -318,3 +318,24 @@ def test_dynamic_batcher_wraps_reducing_ensemble(fold_models):
             t.join()
     np.testing.assert_allclose(np.concatenate(results), want,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_ensemble_vote_reduce(fold_models):
+    """reduce='vote' = per-class majority-vote fractions: argmax equals
+    the members' majority vote (reference LOSO §31 semantics) and rows
+    still sum to 1."""
+    model, _, stacked, data = fold_models
+    ens_none = EnsemblePredictor(model, stacked, batch_size=8,
+                                 reduce="none")
+    ens_vote = EnsemblePredictor(model, stacked, batch_size=8,
+                                 reduce="vote")
+    x = {"eeg": data["eeg"][:8], "fmri": data["fmri"][:8]}
+    per_member = ens_none(**x)                      # (K, n, C)
+    frac = ens_vote(**x)                            # (n, C)
+    K = per_member.shape[0]
+    member_votes = per_member.argmax(-1)            # (K, n)
+    want = np.stack([(member_votes == c).mean(0)
+                     for c in range(per_member.shape[-1])], axis=-1)
+    np.testing.assert_allclose(frac, want, atol=1e-6)
+    np.testing.assert_allclose(frac.sum(-1), 1.0, atol=1e-6)
+    assert K == 4
