@@ -5,6 +5,7 @@ from multimodal_eeg_fmri_tpu.data.arrays import (
     pad_rows,
     stack_trees,
     subset,
+    validate_dataset,
 )
 from multimodal_eeg_fmri_tpu.data.synthetic import (
     synthetic_eeg_trimodal,
@@ -23,6 +24,7 @@ __all__ = [
     "pad_rows",
     "stack_trees",
     "subset",
+    "validate_dataset",
     "synthetic_eeg_trimodal",
     "synthetic_fmri",
     "synthetic_bridge",

@@ -73,6 +73,109 @@ def pad_and_stack(folds: List[Dataset], multiple_of: int = 1) -> Dataset:
     return stack_trees([pad_rows(f, target) for f in folds])
 
 
+def validate_dataset(
+    data: Dataset,
+    *,
+    require_label: bool = True,
+    num_classes: int = 2,
+    batch_size: int = None,
+    name: str = "dataset",
+) -> Dataset:
+    """Host-side sanity check of a user-built dataset dict, with
+    ACTIONABLE error messages (migration surface: a malformed dict
+    otherwise fails deep inside a traced fit with a shape error that
+    names no key). Returns the dataset unchanged so calls can chain.
+
+    Checks: dict-of-arrays with one shared leading sample axis; integer
+    ``label`` in ``[0, num_classes)``; ``weight`` (if present) is a
+    non-negative 1-D float mask; warns (via ``logging``) on non-finite
+    values (NaN propagates to NaN loss by design — loaders scrub at
+    ingest, hand-built arrays may not be), float64 leaves (cast to f32
+    on TPU), and a batch size that drops remainder rows.
+    """
+    import logging
+
+    log = logging.getLogger("multimodal_eeg_fmri_tpu.data")
+    if not isinstance(data, dict) or not data:
+        raise ValueError(
+            f"{name} must be a non-empty dict of arrays keyed by modality "
+            f"(e.g. {{'erp': (n,T,18), 'pw': (n,T,75), 'conn': (n,459), "
+            f"'label': (n,), 'weight': (n,)}}), got {type(data).__name__}")
+    arrays = {}
+    for k, v in data.items():
+        try:
+            arrays[k] = np.asarray(v)
+        except Exception as e:
+            raise ValueError(
+                f"{name}[{k!r}] is not array-convertible: {e}") from e
+        if arrays[k].ndim == 0:
+            raise ValueError(
+                f"{name}[{k!r}] is a scalar — every entry needs a leading "
+                f"sample axis (shape (n, ...))")
+    sizes = {k: len(v) for k, v in arrays.items()}
+    if len(set(sizes.values())) > 1:
+        raise ValueError(
+            f"{name} entries disagree on the sample count: {sizes} — all "
+            f"leaves must share the leading axis (did a modality lose rows "
+            f"during subject alignment? see data/handler.py)")
+    n = next(iter(sizes.values()))
+    if require_label:
+        if "label" not in arrays:
+            raise ValueError(
+                f"{name} has no 'label' entry (keys: {sorted(arrays)}); "
+                f"training data needs integer labels in [0, {num_classes})")
+        lab = arrays["label"]
+        if not np.issubdtype(lab.dtype, np.integer):
+            raise ValueError(
+                f"{name}['label'] has dtype {lab.dtype}; cast to an integer "
+                f"type (e.g. labels.astype(np.int64)) — float labels are a "
+                f"classification/regression mixup")
+        if lab.ndim != 1:
+            raise ValueError(
+                f"{name}['label'] must be 1-D (n,), got shape {lab.shape}")
+        if n and (lab.min() < 0 or lab.max() >= num_classes):
+            raise ValueError(
+                f"{name}['label'] values span [{lab.min()}, {lab.max()}] "
+                f"but num_classes={num_classes}; remap labels to "
+                f"[0, {num_classes}) (the reference binarizes the clinical "
+                f"score at <=2 — data/loaders.load_labels does this)")
+    if "weight" in arrays:
+        w = arrays["weight"]
+        if w.ndim != 1 or not np.issubdtype(w.dtype, np.floating):
+            raise ValueError(
+                f"{name}['weight'] must be a 1-D float mask (1=real row, "
+                f"0=padding), got dtype {w.dtype} shape {w.shape}; "
+                f"pad_rows() builds it for you")
+        if n and w.min() < 0:
+            raise ValueError(f"{name}['weight'] has negative entries "
+                             f"(min {w.min()}) — weights are multiplicative "
+                             f"loss masks and must be >= 0")
+    elif require_label:
+        log.warning(
+            "%s has no 'weight' column; add np.ones((%d,), np.float32) "
+            "(or use pad_rows) — losses/metrics mask padding through it",
+            name, n)
+    for k, v in arrays.items():
+        if np.issubdtype(v.dtype, np.floating):
+            if v.dtype == np.float64:
+                log.warning("%s[%r] is float64; it will be cast to float32 "
+                            "on TPU (x64 is CPU-oracle-only here)", name, k)
+            if not np.isfinite(v).all():
+                bad = int((~np.isfinite(v)).sum())
+                log.warning(
+                    "%s[%r] has %d non-finite value(s); NaN propagates to "
+                    "NaN loss by design — scrub at ingest (loaders do; "
+                    "np.nan_to_num for hand-built arrays)", name, k, bad)
+    if batch_size and n % batch_size:
+        log.warning(
+            "%s: %d rows with batch_size=%d drops the last %d row(s) each "
+            "epoch (fit runs n // batch_size full batches); pad_rows(%d) "
+            "keeps them with zero-weight padding",
+            name, n, batch_size, n % batch_size,
+            ((n + batch_size - 1) // batch_size) * batch_size)
+    return data
+
+
 def balanced_class_weights(labels: np.ndarray, num_classes: int = 2,
                            weights: np.ndarray = None) -> np.ndarray:
     """sklearn ``compute_class_weight('balanced')``: n / (k · bincount)."""

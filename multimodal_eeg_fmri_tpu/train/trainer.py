@@ -106,6 +106,16 @@ class Trainer:
     # -- API ---------------------------------------------------------------
     def train_one_epoch(self, train_data, class_weights=None) -> float:
         """Run one compiled epoch; returns mean train loss."""
+        if self._carry is None:
+            # first contact with user data: fail with actionable messages
+            # instead of a traced shape error (host-side, once)
+            from multimodal_eeg_fmri_tpu.data.arrays import validate_dataset
+
+            validate_dataset(
+                train_data,
+                require_label=self.task == "classification",
+                num_classes=getattr(self.cfg, "num_classes", 2),
+                batch_size=self.cfg.batch_size, name="train_data")
         dev = jax.tree_util.tree_map(jnp.asarray, train_data)
         cw = jnp.asarray(class_weights) if class_weights is not None else None
         scale = self._host_lr_scale()

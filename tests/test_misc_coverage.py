@@ -153,3 +153,75 @@ def test_multimodal_end_to_end_and_frozen():
                        for x in jax.tree_util.tree_leaves(g["bridge"]))
     assert eeg_gnorm == 0.0
     assert bridge_gnorm > 0.0
+
+
+def test_validate_dataset_actionable_errors(caplog):
+    """validate_dataset fails fast with messages that NAME the offending
+    key and the fix, and warns (not fails) on advisory issues."""
+    import logging
+
+    import numpy as np
+    import pytest
+
+    from multimodal_eeg_fmri_tpu.data import validate_dataset
+
+    n = 10
+    good = {"erp": np.zeros((n, 8, 3), np.float32),
+            "label": np.arange(n) % 2,
+            "weight": np.ones((n,), np.float32)}
+    assert validate_dataset(good) is good  # chains
+
+    with pytest.raises(ValueError, match="non-empty dict"):
+        validate_dataset([1, 2, 3])
+    with pytest.raises(ValueError, match="leading axis"):
+        validate_dataset({**good, "erp": good["erp"][:5]})
+    with pytest.raises(ValueError, match="no 'label'"):
+        validate_dataset({"erp": good["erp"]})
+    with pytest.raises(ValueError, match="integer"):
+        validate_dataset({**good, "label": good["label"].astype(np.float32)})
+    with pytest.raises(ValueError, match="remap labels"):
+        validate_dataset({**good, "label": good["label"] + 5})
+    with pytest.raises(ValueError, match="1-D float mask"):
+        validate_dataset({**good,
+                          "weight": np.ones((n,), np.int32)})
+    with pytest.raises(ValueError, match=">= 0"):
+        validate_dataset({**good,
+                          "weight": -np.ones((n,), np.float32)})
+    with pytest.raises(ValueError, match="scalar"):
+        validate_dataset({**good, "rate": np.float32(1.0)})
+    # regression data: float targets allowed when labels not required
+    reg = {"x": np.zeros((n, 4), np.float32),
+           "label": np.linspace(0, 1, n).astype(np.float32),
+           "weight": np.ones((n,), np.float32)}
+    validate_dataset(reg, require_label=False)
+
+    # advisory paths warn but pass
+    with caplog.at_level(logging.WARNING,
+                         logger="multimodal_eeg_fmri_tpu.data"):
+        bad = dict(good)
+        bad["erp"] = good["erp"].astype(np.float64)
+        bad["erp"][0, 0, 0] = np.nan
+        del bad["weight"]
+        validate_dataset(bad, batch_size=4)
+    text = caplog.text
+    assert "float64" in text and "non-finite" in text
+    assert "weight" in text and "drops the last" in text
+
+
+def test_trainer_validates_on_first_epoch():
+    import numpy as np
+    import pytest
+
+    from multimodal_eeg_fmri_tpu.core.config import TrainConfig
+    from multimodal_eeg_fmri_tpu.models import BridgeFusionNet
+    from multimodal_eeg_fmri_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(batch_size=4, num_epochs=2, learning_rate=1e-3,
+                      schedule="constant", patience=100)
+    tr = Trainer(BridgeFusionNet(bridge_dim=16), cfg)
+    bad = {"eeg": np.zeros((8, 128), np.float32),
+           "fmri": np.zeros((8, 64), np.float32),
+           "label": np.zeros((8,), np.float32),   # float labels
+           "weight": np.ones((8,), np.float32)}
+    with pytest.raises(ValueError, match="integer"):
+        tr.train_one_epoch(bad)
