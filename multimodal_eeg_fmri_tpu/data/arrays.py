@@ -80,6 +80,7 @@ def validate_dataset(
     num_classes: int = 2,
     batch_size: int = None,
     name: str = "dataset",
+    warn_missing_weight: bool = True,
 ) -> Dataset:
     """Host-side sanity check of a user-built dataset dict, with
     ACTIONABLE error messages (migration surface: a malformed dict
@@ -150,7 +151,7 @@ def validate_dataset(
             raise ValueError(f"{name}['weight'] has negative entries "
                              f"(min {w.min()}) — weights are multiplicative "
                              f"loss masks and must be >= 0")
-    elif require_label:
+    elif require_label and warn_missing_weight:
         log.warning(
             "%s has no 'weight' column; add np.ones((%d,), np.float32) "
             "(or use pad_rows) — losses/metrics mask padding through it",

@@ -153,6 +153,13 @@ def run_cv(
     """
     # 'subject' rides along in the stacks (split_batch keeps it out of the
     # model inputs) so LOSO votes and per-subject reports can use it.
+    from multimodal_eeg_fmri_tpu.data.arrays import validate_dataset
+
+    validate_dataset(data, require_label=task == "classification",
+                     num_classes=getattr(cfg, "num_classes", 2),
+                     name="run_cv data",
+                     # build_fold_arrays adds per-fold padding masks itself
+                     warn_missing_weight=False)
     model_data = {k: np.asarray(v) for k, v in data.items()}
 
     fold_multiple = mesh_plan.n_ensemble if mesh_plan is not None else 1
