@@ -296,6 +296,77 @@ def run_model_suite(
             for name, m in models.items()}
 
 
+def run_seed_sweep(
+    model,
+    cfg: TrainConfig,
+    train_data: Dict[str, np.ndarray],
+    eval_sets: Dict[str, Dict[str, np.ndarray]],
+    n_seeds: int,
+    *,
+    class_weights=None,
+    mesh_plan=None,
+    base_seed: int = 0,
+    task: str = "classification",
+) -> Dict[str, Any]:
+    """Train ``n_seeds`` runs differing ONLY in the PRNG seed as one
+    vmapped program and summarize the spread.
+
+    The reference reports mean±std across FOLDS only
+    (`CrossModal_EEG_scr.ipynb §44`); at 66 subjects the run-to-run
+    variance of training itself (init + shuffling + dropout masks) is the
+    other half of the uncertainty and goes unreported. Here the seed axis
+    is a device axis: all seeds train simultaneously under ``vmap`` and —
+    given a ``mesh_plan`` — shard over the mesh's ``ensemble`` dimension
+    (manual SPMD, same machinery as folds), so S seeds cost one seed's
+    wall-clock on an S-chip slice.
+
+    Returns ``{"best_metric": (S,), "mean", "ci95": (lo, hi),
+    "history": {metric: (S, epochs)}, "result": FitResult}``; the CI is
+    the t-distribution interval (`report/stats.confidence_interval`,
+    reference §28).
+    """
+    from multimodal_eeg_fmri_tpu.data.arrays import validate_dataset
+    from multimodal_eeg_fmri_tpu.report.stats import confidence_interval
+
+    validate_dataset(train_data, require_label=task == "classification",
+                     num_classes=getattr(cfg, "num_classes", 2),
+                     name="seed_sweep train_data")
+    eval_names = tuple(eval_sets)
+    fit = make_fit_fn(model, cfg, eval_names=eval_names, task=task)
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.key(base_seed), i))(jnp.arange(n_seeds))
+    tdev = jax.tree_util.tree_map(jnp.asarray, train_data)
+    edev = jax.tree_util.tree_map(jnp.asarray, dict(eval_sets))
+    cw = None if class_weights is None else jnp.asarray(class_weights)
+
+    if mesh_plan is not None:
+        from multimodal_eeg_fmri_tpu.parallel.mesh import (
+            ensemble_sharding,
+            ensemble_vmap,
+        )
+
+        if n_seeds % mesh_plan.n_ensemble:
+            raise ValueError(
+                f"n_seeds={n_seeds} must divide the ensemble axis "
+                f"({mesh_plan.n_ensemble})")
+        keys = jax.device_put(keys, ensemble_sharding(mesh_plan, 1))
+        vfit = jax.jit(ensemble_vmap(fit, mesh_plan,
+                                     in_axes=(0, None, None, None)))
+    else:
+        vfit = jax.jit(jax.vmap(fit, in_axes=(0, None, None, None)))
+    res = vfit(keys, tdev, edev, cw)
+    best = np.asarray(res.best_metric)
+    mean, lo, hi = confidence_interval(best)
+    return {
+        "best_metric": best,
+        "mean": mean,
+        "std": float(best.std(ddof=1)) if n_seeds > 1 else 0.0,
+        "ci95": (lo, hi),
+        "history": {k: np.asarray(v) for k, v in res.history.items()},
+        "result": res,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Protocol front-ends matching the reference drivers
 # ---------------------------------------------------------------------------

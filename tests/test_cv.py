@@ -154,3 +154,27 @@ def test_loso_default_is_leakage_free():
     with pytest.warns(UserWarning, match="too few remaining"):
         tiny = leave_one_subject_out(np.repeat([0, 1], 2))
     assert np.array_equal(tiny[0].val, tiny[0].test)
+
+
+def test_run_seed_sweep_distinct_seeds_and_summary():
+    """All seeds train in ONE vmapped program; per-seed outcomes differ
+    (distinct init/shuffle/dropout streams) and the summary carries a
+    t-CI over seeds."""
+    from multimodal_eeg_fmri_tpu.data.arrays import pad_rows, subset
+    from multimodal_eeg_fmri_tpu.train.cv import run_seed_sweep
+
+    data = synthetic_eeg_trimodal(n_subjects=16, time_steps=32,
+                                  separation=1.5, seed=2)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(12)), 12)
+    val = pad_rows(subset(data, np.arange(12, 16)), 4)
+    cfg = TrainConfig(batch_size=4, num_epochs=3, learning_rate=2e-3,
+                      schedule="constant", selection="val", patience=100)
+    out = run_seed_sweep(TriModalFusionNetV4Lite(hidden_dim=16), cfg,
+                         train, {"val": val}, n_seeds=4)
+    assert out["best_metric"].shape == (4,)
+    assert out["history"]["train_loss"].shape == (4, 3)
+    # distinct seeds → distinct trajectories
+    assert len(set(np.round(out["history"]["train_loss"][:, 0], 6))) > 1
+    lo, hi = out["ci95"]
+    assert lo <= out["mean"] <= hi

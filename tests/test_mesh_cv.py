@@ -49,3 +49,26 @@ def test_mesh_2d_ensemble_data():
                  normalize_keys=("erp", "pw", "conn"), mesh_plan=plan)
     assert res.n_folds == 4
     assert np.isfinite(res.fold_metrics["f1"]).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_seed_sweep_sharded_matches_unsharded():
+    from multimodal_eeg_fmri_tpu.data.arrays import pad_rows, subset
+    from multimodal_eeg_fmri_tpu.train.cv import run_seed_sweep
+
+    data = synthetic_eeg_trimodal(n_subjects=16, time_steps=32,
+                                  separation=1.5, seed=2)
+    data.pop("subject")
+    train = pad_rows(subset(data, np.arange(12)), 12)
+    val = pad_rows(subset(data, np.arange(12, 16)), 4)
+    cfg = TrainConfig(batch_size=4, num_epochs=2, learning_rate=2e-3,
+                      schedule="constant", selection="val", patience=100)
+    model = TriModalFusionNetV4Lite(hidden_dim=16)
+    plan = build_mesh(jax.devices()[:8], ensemble=4, data=2)
+    sharded = run_seed_sweep(model, cfg, train, {"val": val}, n_seeds=4,
+                             mesh_plan=plan)
+    plain = run_seed_sweep(model, cfg, train, {"val": val}, n_seeds=4)
+    for k in plain["history"]:
+        np.testing.assert_allclose(
+            sharded["history"][k], plain["history"][k],
+            rtol=2e-4, atol=2e-5, err_msg=f"seed sweep history[{k!r}]")
