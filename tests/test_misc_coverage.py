@@ -195,15 +195,27 @@ def test_validate_dataset_actionable_errors(caplog):
            "weight": np.ones((n,), np.float32)}
     validate_dataset(reg, require_label=False)
 
-    # advisory paths warn but pass
-    with caplog.at_level(logging.WARNING,
-                         logger="multimodal_eeg_fmri_tpu.data"):
+    # advisory paths warn but pass. Capture with a handler attached
+    # DIRECTLY to the package logger: pipeline tests earlier in the
+    # session may have run setup_logging, which sets propagate=False on
+    # the package root — records then never reach caplog's root handler.
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    log = logging.getLogger("multimodal_eeg_fmri_tpu.data")
+    old_level = log.level
+    log.addHandler(handler)
+    log.setLevel(logging.WARNING)
+    try:
         bad = dict(good)
         bad["erp"] = good["erp"].astype(np.float64)
         bad["erp"][0, 0, 0] = np.nan
         del bad["weight"]
         validate_dataset(bad, batch_size=4)
-    text = caplog.text
+    finally:
+        log.removeHandler(handler)
+        log.setLevel(old_level)
+    text = "\n".join(records)
     assert "float64" in text and "non-finite" in text
     assert "weight" in text and "drops the last" in text
 
