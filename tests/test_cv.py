@@ -178,3 +178,23 @@ def test_run_seed_sweep_distinct_seeds_and_summary():
     assert len(set(np.round(out["history"]["train_loss"][:, 0], 6))) > 1
     lo, hi = out["ci95"]
     assert lo <= out["mean"] <= hi
+
+
+def test_run_seed_sweep_regression_task():
+    """The sweep works for the regression task (R2-style best metric per
+    seed) — pinned after manual validation."""
+    from multimodal_eeg_fmri_tpu.data.arrays import pad_rows, subset
+    from multimodal_eeg_fmri_tpu.train.cv import run_seed_sweep
+
+    data = synthetic_fmri(n_subjects=20, seed=1)
+    data.pop("subject", None)
+    data["label"] = data.pop("reg_label").astype(np.float32)
+    train = pad_rows(subset(data, np.arange(16)), 16)
+    val = pad_rows(subset(data, np.arange(16, 20)), 4)
+    cfg = TrainConfig(batch_size=4, num_epochs=3, learning_rate=2e-3,
+                      schedule="constant", selection="val", patience=100)
+    out = run_seed_sweep(FMRIFusionNet(hidden_dim=32, task="regression"),
+                         cfg, train, {"val": val}, n_seeds=3,
+                         task="regression")
+    assert out["best_metric"].shape == (3,)
+    assert np.isfinite(out["best_metric"]).all()
