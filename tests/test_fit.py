@@ -185,3 +185,31 @@ def test_preprocess_in_step_equals_pretransformed_data():
         np.testing.assert_allclose(np.asarray(res_fused.history[key]),
                                    np.asarray(res_plain.history[key]),
                                    rtol=1e-4, atol=1e-5, err_msg=key)
+
+
+def test_single_class_training_fold_is_finite():
+    """A fold whose TRAIN split contains only one class (possible under
+    32-subject LOOCV) must train with finite losses and clamped balanced
+    class weights, not NaN out."""
+    from multimodal_eeg_fmri_tpu.data import (
+        balanced_class_weights,
+        pad_rows,
+        subset,
+    )
+    from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_bridge
+
+    data = synthetic_bridge(n_subjects=12, seed=0)
+    data.pop("subject")
+    data["label"] = np.zeros(12, np.int64)
+    train = pad_rows(subset(data, np.arange(8)), 8)
+    val = pad_rows(subset(data, np.arange(8, 12)), 4)
+    cfg = TrainConfig(batch_size=4, num_epochs=3, learning_rate=1e-3,
+                      schedule="constant", selection="val", patience=100)
+    cw = balanced_class_weights(train["label"], weights=train["weight"])
+    assert np.isfinite(cw).all() and cw[1] > 0  # absent class clamped
+    fit_fn = jax.jit(make_fit_fn(BridgeFusionNet(bridge_dim=16), cfg,
+                                 eval_names=("val",)))
+    res = fit_fn(jax.random.key(0), _device_tree(train),
+                 {"val": _device_tree(val)}, jnp.asarray(cw))
+    assert np.isfinite(np.asarray(res.history["train_loss"])).all()
+    assert np.isfinite(np.asarray(res.history["val_f1"])).all()
