@@ -370,6 +370,24 @@ class EnsemblePredictor:
                        if all(b is not None for b in bs_list) else None)
         return cls(model, params, batch_stats, **kw)
 
+    @classmethod
+    def from_quantized(cls, model, paths, **kw):
+        """Build from K int8/int4 weight-only payloads
+        (core/quantize.save_quantized). The K-fold ensemble fan-out is
+        where the quantized story pays most: the deployment unit shrinks
+        ~4× PER MEMBER, and all K dequantized trees still serve in the one
+        vmapped forward. Same bounded-drift contract as
+        ``Predictor.from_quantized`` (weights dequantize at load, compute
+        stays f32)."""
+        from multimodal_eeg_fmri_tpu.core.quantize import load_quantized
+
+        restored = [load_quantized(p) for p in paths]
+        params = stack_variable_trees([r["params"] for r in restored])
+        bs_list = [r.get("batch_stats") for r in restored]
+        batch_stats = (stack_variable_trees(bs_list)
+                       if all(b is not None for b in bs_list) else None)
+        return cls(model, params, batch_stats, **kw)
+
     # the K-model late-fusion forward serializes the same way as the
     # single-model one: weights baked in, one self-contained file
     export_artifact = Predictor.export_artifact
@@ -435,6 +453,14 @@ class EnsemblePredictor:
         return out
 
 
+class QueueFull(RuntimeError):
+    """Raised on enqueue when the DynamicBatcher's bounded queue is full.
+
+    Deliberate backpressure: a sustained burst beyond device throughput
+    must surface to callers (HTTP 503 / retry-after territory), not grow
+    host memory and tail latency without bound."""
+
+
 class _Request:
     __slots__ = ("inputs", "n", "event", "result", "error")
 
@@ -465,14 +491,28 @@ class DynamicBatcher:
     different input-key sets are flushed as separate calls (never mixed).
     The reference has no serving story at all (SURVEY §1: research scripts
     only); this is deployment surface the rebuild adds.
+
+    Overload behavior: ``max_queue`` bounds the number of PENDING ROWS; an
+    enqueue that would exceed it raises :class:`QueueFull` immediately
+    (bounded memory, timely rejection). ``timeout_s`` bounds how long any
+    caller waits for its result — if the device call wedges (e.g. the
+    half-up tunnel mode, CLAUDE.md) callers get ``TimeoutError`` instead of
+    blocking every serving thread forever; a request still queued at
+    timeout is withdrawn from the queue.
     """
 
     def __init__(self, predictor: Callable, max_delay_ms: float = 5.0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None,
+                 max_queue: Optional[int] = None,
+                 timeout_s: Optional[float] = None):
         import threading
 
         if max_delay_ms < 0:
             raise ValueError(f"max_delay_ms must be >= 0, got {max_delay_ms}")
+        if max_queue is not None and max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {max_queue}")
+        if timeout_s is not None and timeout_s <= 0:
+            raise ValueError(f"timeout_s must be > 0, got {timeout_s}")
         if getattr(predictor, "reduce", None) == "none":
             raise ValueError(
                 "EnsemblePredictor(reduce='none') returns (K, N, C) — the "
@@ -483,6 +523,9 @@ class DynamicBatcher:
         self._delay = max_delay_ms / 1e3
         self._max = int(max_batch
                         or getattr(predictor, "batch_size", None) or 8)
+        self._max_queue = None if max_queue is None else int(max_queue)
+        self._timeout = timeout_s
+        self.rejected = 0  # observability: QueueFull enqueue rejections
         self._cv = threading.Condition()
         self._queue: list = []  # (enqueue_time, _Request)
         self._closed = False
@@ -505,9 +548,24 @@ class DynamicBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("DynamicBatcher is closed")
+            if self._max_queue is not None:
+                pending = sum(r.n for _, r in self._queue)
+                if pending + req.n > self._max_queue:
+                    self.rejected += 1
+                    raise QueueFull(
+                        f"DynamicBatcher queue full: {pending} rows pending "
+                        f"(max_queue={self._max_queue}); request of {req.n} "
+                        f"row(s) rejected — retry later or raise max_queue")
             self._queue.append((time.monotonic(), req))
             self._cv.notify_all()
-        req.event.wait()
+        if not req.event.wait(self._timeout):
+            # withdraw if still queued (bounds memory under a wedge); if
+            # already mid-flight the result is simply abandoned
+            with self._cv:
+                self._queue = [(t, r) for t, r in self._queue if r is not req]
+            raise TimeoutError(
+                f"DynamicBatcher request timed out after {self._timeout}s "
+                f"(device call wedged or overloaded)")
         if req.error is not None:
             raise req.error
         return req.result

@@ -347,8 +347,8 @@ def run_seed_sweep(
 
         if n_seeds % mesh_plan.n_ensemble:
             raise ValueError(
-                f"n_seeds={n_seeds} must divide the ensemble axis "
-                f"({mesh_plan.n_ensemble})")
+                f"the ensemble axis ({mesh_plan.n_ensemble}) must divide "
+                f"n_seeds={n_seeds}")
         keys = jax.device_put(keys, ensemble_sharding(mesh_plan, 1))
         vfit = jax.jit(ensemble_vmap(fit, mesh_plan,
                                      in_axes=(0, None, None, None)))

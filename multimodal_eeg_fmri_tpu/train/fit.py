@@ -455,6 +455,16 @@ def make_fit_fn(
             # With EMA enabled, epoch-end evaluation and model selection use
             # the Polyak-averaged weights (so FitResult.params is the best
             # EMA snapshot); the raw weights keep training underneath.
+            # CONTRACT (EMA × BatchNorm): the EMA covers PARAMS ONLY — eval
+            # pairs the averaged weights with the RAW running batch_stats of
+            # the same epoch (standard practice: torch.optim.swa_utils and
+            # flax both leave BN stats out of the average; the running stats
+            # are themselves an EMA of activation moments and track the raw
+            # trajectory closely at these decay rates). FitResult therefore
+            # returns (EMA params at best_epoch, raw batch_stats at
+            # best_epoch) — the exact pair the selection metric was computed
+            # from, pinned by tests/test_fit_extras.py::
+            # test_ema_with_batchnorm_selection_contract.
             eval_params = ema if ema_d > 0 else params
             metrics_out = {"train_loss": train_loss, "lr_scale": lr_scale}
             sel_metric = -train_loss  # default: selection == 'train_loss'

@@ -187,6 +187,71 @@ def test_grad_accum_ema_compose_with_fold_mesh():
             err_msg=f"sharded grad_accum+EMA fold {k} != unsharded")
 
 
+def test_ema_with_batchnorm_selection_contract():
+    """EMA × BatchNorm (the contract train/fit.py documents): the EMA
+    covers PARAMS ONLY; selection pairs the EMA weight snapshot with the
+    RAW running batch_stats of the same epoch. Trains the BN-heavy V4
+    flagship with ema_decay>0 and pins:
+
+    (a) the model actually carries batch_stats (this test means nothing
+        on a BN-free model),
+    (b) FitResult.params is the EMA (lags the raw trajectory) while
+        FitResult.batch_stats tracks the raw running stats,
+    (c) the recorded best selection metric is bit-reproducible from
+        exactly that (EMA params, raw stats) pair — i.e. selection on a
+        BN model evaluated what it says it evaluated.
+    """
+    from multimodal_eeg_fmri_tpu.data.synthetic import synthetic_eeg_trimodal
+    from multimodal_eeg_fmri_tpu.models import TriModalFusionNetV4
+    from multimodal_eeg_fmri_tpu.report.metrics import (
+        binary_classification_metrics,
+    )
+
+    data = synthetic_eeg_trimodal(n_subjects=24, time_steps=32,
+                                  erp_channels=6, pw_channels=8,
+                                  conn_features=20, separation=2.0, seed=7)
+    data.pop("subject")
+    data["weight"] = np.ones(24, np.float32)
+    train = subset(data, np.arange(16))
+    ev = subset(data, np.arange(16, 24))
+    dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    train, evals = dev(train), {"val": dev(ev)}
+
+    model = TriModalFusionNetV4(hidden_dim=16, dropout=0.0)
+    cfg = TrainConfig(batch_size=8, num_epochs=5, learning_rate=2e-3,
+                      schedule="constant", selection="val", patience=100,
+                      ema_decay=0.8)
+    fit = jax.jit(make_fit_fn(model, cfg, eval_names=("val",)))
+    res = fit(jax.random.key(0), train, evals, None)
+
+    # (a) BN-heavy: running stats exist and were actually updated
+    bs_leaves = jax.tree_util.tree_leaves(res.batch_stats)
+    assert bs_leaves, "V4 must carry batch_stats for this test to bite"
+    assert int(res.best_epoch) >= 0
+    assert np.isfinite(float(res.best_metric))
+
+    # (b) returned params are the EMA snapshot, not the raw weights
+    flat = lambda t: np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(t)])
+    assert not np.allclose(flat(res.carry.params),
+                           flat(res.carry.ema_params))
+    # batch_stats carry NO ema twin anywhere in the result
+    assert not any("ema" in str(p).lower() for p in
+                   jax.tree_util.tree_leaves_with_path(res.batch_stats)
+                   for p in (p[0],))
+
+    # (c) best_metric reproduces EXACTLY from (EMA params, raw stats):
+    # best_params/best_batch_stats were written at the improving epoch from
+    # eval_params=EMA and the running stats — the same pair we re-apply here
+    out = model.apply({"params": res.params, "batch_stats": res.batch_stats},
+                      erp=evals["val"]["erp"], pw=evals["val"]["pw"],
+                      conn=evals["val"]["conn"], train=False)
+    m = binary_classification_metrics(out.logits, evals["val"]["label"],
+                                      evals["val"].get("weight"))
+    np.testing.assert_allclose(float(m["f1"]), float(res.best_metric),
+                               rtol=0, atol=0)
+
+
 def test_ema_off_keeps_raw_selection():
     train, evals, cw = _bridge_fold()
     cfg = TrainConfig(batch_size=8, num_epochs=3, schedule="constant",

@@ -320,6 +320,110 @@ def test_dynamic_batcher_wraps_reducing_ensemble(fold_models):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_ensemble_from_quantized(fold_models, tmp_path):
+    """K int8 weight-only payloads serve in ONE vmapped ensemble forward
+    with the same bounded-drift + identical-argmax contract as the
+    single-model quantized predictor."""
+    from multimodal_eeg_fmri_tpu.core.quantize import save_quantized
+
+    model, member_vars, stacked, data = fold_models
+    paths = []
+    for k, v in enumerate(member_vars):
+        payload = {"params": jax.tree_util.tree_map(np.asarray, v["params"])}
+        if v.get("batch_stats"):
+            payload["batch_stats"] = jax.tree_util.tree_map(
+                np.asarray, v["batch_stats"])
+        paths.append(save_quantized(tmp_path / f"fold{k}_q", payload))
+
+    ens_ref = EnsemblePredictor(model, stacked, batch_size=8)
+    ens_q = EnsemblePredictor.from_quantized(model, paths, batch_size=8)
+    assert ens_q.n_members == 4
+    x = {"eeg": data["eeg"][:11], "fmri": data["fmri"][:11]}
+    probs_ref, probs_q = ens_ref(**x), ens_q(**x)
+    assert probs_q.shape == (11, 2)
+    assert np.max(np.abs(probs_q - probs_ref)) < 0.05
+    np.testing.assert_array_equal(probs_q.argmax(-1), probs_ref.argmax(-1))
+
+
+def test_dynamic_batcher_backpressure_rejects_overload():
+    """Enqueue rate >> flush rate with a bounded queue: pending rows never
+    exceed max_queue (memory bounded), overflow callers get QueueFull
+    immediately, accepted callers still get correct results."""
+    import threading
+    import time as _time
+
+    from multimodal_eeg_fmri_tpu.serving import DynamicBatcher, QueueFull
+
+    max_queue = 4
+
+    def slow_predict(**inputs):
+        _time.sleep(0.05)  # device far slower than the request burst
+        return np.asarray(inputs["x"]) * 2.0
+
+    served, rejected = [], []
+    lock = threading.Lock()
+    with DynamicBatcher(slow_predict, max_delay_ms=1.0, max_batch=4,
+                        max_queue=max_queue) as b:
+        def one(i):
+            try:
+                out = b(x=np.asarray([[float(i)]]))
+                with lock:
+                    served.append((i, out))
+            except QueueFull:
+                with lock:
+                    rejected.append(i)
+            # observable bound: the queue can never hold more than
+            # max_queue rows, whatever the burst size
+            with b._cv:
+                assert sum(r.n for _, r in b._queue) <= max_queue
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(32)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        n_rejected = b.rejected
+    assert len(served) + len(rejected) == 32
+    assert len(rejected) > 0 and n_rejected == len(rejected)
+    assert len(served) >= 1  # the queue kept draining under overload
+    for i, out in served:
+        np.testing.assert_allclose(out, [[2.0 * i]])
+
+
+def test_dynamic_batcher_timeout_unsticks_wedged_device():
+    """A wedged predictor (the half-up tunnel mode) must not strand
+    callers: with timeout_s they raise TimeoutError promptly, and a
+    request still queued at timeout is withdrawn from the queue."""
+    import threading
+    import time as _time
+
+    from multimodal_eeg_fmri_tpu.serving import DynamicBatcher
+
+    release = threading.Event()
+
+    def wedged_predict(**inputs):
+        release.wait()  # simulates a device call that never returns
+        return np.asarray(inputs["x"])
+
+    b = DynamicBatcher(wedged_predict, max_delay_ms=1.0, max_batch=2,
+                       timeout_s=0.2)
+    try:
+        t0 = _time.perf_counter()
+        with pytest.raises(TimeoutError, match="timed out"):
+            b(x=np.zeros((1, 1), np.float32))
+        assert _time.perf_counter() - t0 < 2.0  # prompt, not wedged
+        # a second caller times out while the worker is still stuck on the
+        # first batch — its request is withdrawn, the queue stays empty
+        with pytest.raises(TimeoutError):
+            b(x=np.zeros((1, 1), np.float32))
+        with b._cv:
+            assert not b._queue
+    finally:
+        release.set()
+        b.close()
+
+
 def test_ensemble_vote_reduce(fold_models):
     """reduce='vote' = per-class majority-vote fractions: argmax equals
     the members' majority vote (reference LOSO §31 semantics) and rows
