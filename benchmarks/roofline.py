@@ -16,8 +16,11 @@ Speed-of-light claims need floors, not vibes. This script:
    actually has work to do.
 
 Timing uses the tunnel-safe protocol (CLAUDE.md): one scan dispatch per
-measurement, inputs perturbed ≥1e-3 per rep, host scalar fetch as sync,
-measured link floor subtracted.
+measurement, operands staged on DEVICE with completion forced before t0
+(a 64-256 MB host→device transfer through the tunnel otherwise lands in
+the timed region and the "ceiling" measures the ~30 MB/s LINK), inputs
+perturbed on-device per rep (0.01·i — survives bf16 rounding), host
+scalar fetch as sync, measured link floor subtracted.
 
 Run: ``python benchmarks/roofline.py`` (real v5e; CPU works but the
 ceilings are then host numbers).
@@ -49,13 +52,44 @@ def _fetch_floor():
     return best
 
 
-def _timed_scan(make_args, run, reps=4):
-    """Best wall time of one scan dispatch, fetch-synced, floor-subtracted."""
-    run(*make_args(0))  # compile + warm
+def _put(x, dtype=None):
+    """Host → device ONCE, completion forced by a scalar fetch.
+
+    Through the tunnel a host→device transfer of a 64-256 MB operand runs
+    at link speed (~30 MB/s observed); letting it land inside the timed
+    region makes every "ceiling" a LINK measurement (first r05 run:
+    3 TFLOP/s "matmul peak", 4 GB/s "HBM", and the headline step 0.6×
+    ABOVE its own floor — impossible, which is how this was caught)."""
+    import jax.numpy as jnp
+
+    a = jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype=dtype)
+    float(a.ravel()[0])
+    return a
+
+
+def _timed_scan(base_args, run, reps=4):
+    """Best wall time of one scan dispatch over DEVICE-resident operands,
+    fetch-synced, floor-subtracted. Per rep each operand is perturbed ON
+    DEVICE (distinct eps per rep — the tunnel memoizes repeated identical
+    executions) and re-materialized with a scalar fetch BEFORE t0, so the
+    timed region is dispatch + chain + one scalar fetch only. eps=0.01·i:
+    large enough to survive bfloat16 rounding (1e-3 on an N(0,1) operand
+    rounds away below bf16's ~2^-8 relative step and the loop would get
+    memoized)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def perturb(a, eps):
+        return a + eps.astype(a.dtype)
+
+    run(*base_args)  # compile + warm
     floor = _fetch_floor()
     best = float("inf")
     for i in range(1, reps + 1):
-        args = make_args(i)
+        args = tuple(perturb(a, jnp.float32(0.01 * i)) for a in base_args)
+        for a in args:
+            float(a.ravel()[0])  # force on-device materialization
         t0 = time.perf_counter()
         run(*args)
         best = min(best, time.perf_counter() - t0)
@@ -80,12 +114,8 @@ def measure_matmul_peak(dtype, n=4096, k_steps=48):
         c, _ = jax.lax.scan(step, a, None, length=k_steps)
         return c.ravel()[0]
 
-    def make_args(i):
-        a = jnp.asarray(a0 + 1e-3 * i, dtype=dtype)
-        b = jnp.asarray(b0, dtype=dtype)
-        return a, b
-
-    t = _timed_scan(make_args, lambda a, b: float(chain(a, b)))
+    t = _timed_scan((_put(a0, dtype), _put(b0, dtype)),
+                    lambda a, b: float(chain(a, b)))
     flops = 2.0 * n * n * n * k_steps
     return flops / t / 1e12  # TFLOP/s
 
@@ -105,8 +135,7 @@ def measure_hbm_bw(mb=256, k_steps=48):
         c, _ = jax.lax.scan(step, x, None, length=k_steps)
         return c[0]
 
-    t = _timed_scan(lambda i: (jnp.asarray(x0 + 1e-3 * i),),
-                    lambda x: float(stream(x)))
+    t = _timed_scan((_put(x0),), lambda x: float(stream(x)))
     gb = 2.0 * n * 4 * k_steps / 1e9  # read + write per step
     return gb / t  # GB/s
 
@@ -162,11 +191,9 @@ def analyze_flash(t_len=8192, b=1, h=8, d=64, block=512, k_steps=8):
         out, _ = jax.lax.scan(step, q, None, length=k_steps)
         return out.ravel()[0]
 
-    def make_args(i):
-        q = jnp.asarray(q0 + 1e-3 * i)
-        return q, q, q
-
-    t = _timed_scan(make_args, lambda *a: float(chain(*a))) / k_steps
+    q_dev = _put(q0)
+    t = _timed_scan((q_dev, q_dev, q_dev),
+                    lambda *a: float(chain(*a))) / k_steps
     # forward attention FLOPs: QK^T (2*T^2*D) + PV (2*T^2*D) per head
     flops = 4.0 * b * h * t_len * t_len * d
     return flops, t

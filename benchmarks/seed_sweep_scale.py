@@ -43,8 +43,12 @@ def main():
     from multimodal_eeg_fmri_tpu.train.cv import run_seed_sweep
 
     S = 16
+    # separation 0.3: weakly separable on purpose — at 0.6 every seed
+    # saturated at F1 1.0 (measured on chip) and the spread was invisible;
+    # the measurement only means something where training can land in
+    # different basins
     data = synthetic_eeg_trimodal(n_subjects=60, time_steps=64,
-                                  separation=0.6, seed=13)
+                                  separation=0.3, seed=13)
     data.pop("subject")
     train = pad_rows(subset(data, np.arange(48)), 48)
     ev = pad_rows(subset(data, np.arange(48, 60)), 12)

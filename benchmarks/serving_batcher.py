@@ -85,8 +85,8 @@ def main():
     pred, example = build_predictor()
     platform = jax.devices()[0].platform
     total = clients * reqs
-    out = {"platform": platform, "clients": clients,
-           "reqs_per_client": reqs}
+    out = {"metric": "serving_batcher", "platform": platform,
+           "clients": clients, "reqs_per_client": reqs}
 
     wall, lat = drive(pred, example, clients, reqs)
     out["naked"] = {

@@ -160,7 +160,11 @@ def main():
 
     batched_s, loop_s = bench_framework()
     torch_s = bench_torch_cpu()
+    import jax
+
     result = {
+        "metric": "xai_throughput",
+        "backend": jax.default_backend(),
         "framework_batched_ms": round(batched_s * 1e3, 2),
         "tpu_per_subject_loop_ms": round(loop_s * 1e3, 2),
         "torch_cpu_reference_loop_ms": round(torch_s * 1e3, 2),
