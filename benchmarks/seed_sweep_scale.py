@@ -43,12 +43,14 @@ def main():
     from multimodal_eeg_fmri_tpu.train.cv import run_seed_sweep
 
     S = 16
-    # separation 0.3: weakly separable on purpose — at 0.6 every seed
-    # saturated at F1 1.0 (measured on chip) and the spread was invisible;
-    # the measurement only means something where training can land in
-    # different basins
+    # separation 0.05: CALIBRATED weakly-separable regime (CPU sweep of
+    # {0.02, 0.05, 0.1}: mean F1 0.55 / 0.65 / 0.92; 0.3 and 0.6 saturate
+    # every seed at 1.0 on chip and the spread is invisible). 0.05 puts
+    # the task at the reference's own operating point (§44 F1 ≈ 0.60),
+    # where training actually lands in different basins per seed — the
+    # thing this sweep exists to expose.
     data = synthetic_eeg_trimodal(n_subjects=60, time_steps=64,
-                                  separation=0.3, seed=13)
+                                  separation=0.05, seed=13)
     data.pop("subject")
     train = pad_rows(subset(data, np.arange(48)), 48)
     ev = pad_rows(subset(data, np.arange(48, 60)), 12)

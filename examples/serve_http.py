@@ -71,6 +71,8 @@ def build_service(seed: int = 0):
 def make_handler(served, qhat, health_extra=None):
     import numpy as np
 
+    from multimodal_eeg_fmri_tpu.serving import QueueFull
+
     # ``served`` may be the Predictor itself or a DynamicBatcher around it
     temperature = getattr(
         served, "temperature",
@@ -114,6 +116,10 @@ def make_handler(served, qhat, health_extra=None):
                     "conformal_set": sets.tolist(),
                     "defer": (sets.sum(-1) != 1).tolist(),
                 })
+            except QueueFull as e:   # bounded-queue backpressure → 503
+                self._send(503, {"error": str(e), "retry": True})
+            except TimeoutError as e:  # wedged device call → 504
+                self._send(504, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — server must not die
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -138,8 +144,13 @@ def main():
     served, qhat, data = build_service()
     # ThreadingHTTPServer handles each client on its own thread; the
     # DynamicBatcher coalesces those concurrent rows into one device call
-    # per flush window instead of one per request
-    batcher = DynamicBatcher(served, max_delay_ms=5.0)
+    # per flush window instead of one per request. Production settings:
+    # bounded queue (bursts beyond device throughput get HTTP 503 instead
+    # of unbounded memory) and a caller timeout (a wedged device call —
+    # the half-up tunnel mode — returns 504 instead of stranding every
+    # serving thread).
+    batcher = DynamicBatcher(served, max_delay_ms=5.0, max_queue=256,
+                             timeout_s=120.0)
     server = ThreadingHTTPServer(
         ("127.0.0.1", args.port),
         make_handler(batcher, qhat,
