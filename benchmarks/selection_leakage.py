@@ -69,7 +69,13 @@ def main():
                          normalize_keys=("erp", "pw", "conn"),
                          rng=jax.random.key(seed))
         out = {"f1": float(res.summary["f1"][0])}
-        votes = subject_level_votes(res)
+        # subject votes only mean something when each test fold IS one
+        # subject (LOSO); on k-fold the vote would pool one fold's many
+        # subjects under the first subject's id
+        single_subject_folds = all(
+            len(np.unique(np.asarray(data["subject"])[sp.test])) == 1
+            for sp in splits)
+        votes = subject_level_votes(res) if single_subject_folds else {}
         if votes:  # LOSO: the reference's §31 headline is subject accuracy
             subj = np.asarray(data["subject"])
             lbl = {int(s): int(l) for s, l in zip(subj, data["label"])}
