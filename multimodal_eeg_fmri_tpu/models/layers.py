@@ -96,6 +96,10 @@ class MultiHeadAttention(nn.Module):
     seq_axis: str = "seq"
     head_axis: Optional[str] = None
     ring_size: Optional[int] = None
+    # MXU input dtype for the flash kernel's per-tile matmuls (f32
+    # accumulation + f32 softmax statistics regardless). bfloat16 runs the
+    # v5e MXU at ~2× the f32 rate — the long-sequence throughput knob.
+    flash_compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -174,6 +178,7 @@ class MultiHeadAttention(nn.Module):
             out = flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
+                compute_dtype=self.flash_compute_dtype,
             ).transpose(0, 2, 1, 3)
             mean_probs = None
         else:
@@ -220,6 +225,7 @@ class TransformerBlock(nn.Module):
     moe_capacity_factor: float = 2.0
     moe_aux_weight: float = 0.01
     expert_axis: Optional[str] = None
+    flash_compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -232,6 +238,7 @@ class TransformerBlock(nn.Module):
             self.num_heads, self.dropout, attn_impl=self.attn_impl,
             mesh=self.mesh, seq_axis=self.seq_axis, head_axis=self.head_axis,
             ring_size=self.ring_size,
+            flash_compute_dtype=self.flash_compute_dtype,
             name="attn",
         )(y, y, y, train=train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(y)

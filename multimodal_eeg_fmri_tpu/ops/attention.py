@@ -61,7 +61,8 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, block_k: int, kv_len: int, scale: float):
+                *, block_k: int, kv_len: int, scale: float,
+                compute_dtype=jnp.float32):
     kb = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -71,13 +72,21 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale          # (block_q, D)
-    k = k_ref[0].astype(jnp.float32)                  # (block_k, D)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                 # (block_q, block_k)
+    if compute_dtype == jnp.float32:
+        q = q_ref[0].astype(jnp.float32) * scale      # (block_q, D)
+        s = jax.lax.dot_general(
+            q, k_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (block_q, block_k)
+    else:
+        # MXU inputs in compute_dtype (bf16), f32 accumulation — the raw
+        # tiles are cast (not the pre-scaled q) so the scale multiply
+        # keeps the full f32 mantissa
+        s = jax.lax.dot_general(
+            q_ref[0].astype(compute_dtype), k_ref[0].astype(compute_dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
     col = kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, -jnp.inf)
@@ -89,7 +98,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     m_scr[...] = m_new
     l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[...] = alpha * acc_scr[...] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        p.astype(compute_dtype), v_ref[0].astype(compute_dtype),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -110,7 +120,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, block_k: int, kv_len: int, scale: float):
+                    *, block_k: int, kv_len: int, scale: float,
+                    compute_dtype=jnp.float32):
     """grid (BH, n_k, n_q): K/V tile resident; Q/dO blocks stream through
     the innermost grid dim; dK/dV accumulate in scratch."""
     qi = pl.program_id(2)
@@ -122,10 +133,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)                  # (block_q, D)
-    k = k_ref[0].astype(jnp.float32)                  # (block_k, D)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)                # (block_q, D)
+    q = q_ref[0].astype(compute_dtype)                # (block_q, D)
+    k = k_ref[0].astype(compute_dtype)                # (block_k, D)
+    v = v_ref[0].astype(compute_dtype)
+    do = do_ref[0].astype(compute_dtype)              # (block_q, D)
     lse = lse_ref[0][:, :1].astype(jnp.float32)       # (block_q, 1)
     delta = delta_ref[0][:, :1].astype(jnp.float32)   # (block_q, 1)
 
@@ -139,7 +150,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     # dV += Pᵀ · dO
     dv_scr[...] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        p.astype(compute_dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # dS = P ⊙ (dO·Vᵀ − Δ);  dK += dSᵀ · Q · scale
@@ -149,7 +160,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     )
     ds = p * (dp - delta)
     dk_scr[...] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        ds.astype(compute_dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
 
@@ -161,7 +172,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_scr,
-                   *, block_k: int, kv_len: int, scale: float):
+                   *, block_k: int, kv_len: int, scale: float,
+                   compute_dtype=jnp.float32):
     """grid (BH, n_q, n_k): Q tile resident; K/V stream; dQ accumulates."""
     kb = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -170,10 +182,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(compute_dtype)
+    k = k_ref[0].astype(compute_dtype)
+    v = v_ref[0].astype(compute_dtype)
+    do = do_ref[0].astype(compute_dtype)
     lse = lse_ref[0][:, :1].astype(jnp.float32)
     delta = delta_ref[0][:, :1].astype(jnp.float32)
 
@@ -190,7 +202,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     )
     ds = p * (dp - delta)
     dq_scr[...] += jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
+        ds.astype(compute_dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
 
@@ -210,8 +222,9 @@ def _pad_bh(x, t_pad, d_pad):
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
-                                             "interpret"))
-def _flash_forward(q, k, v, block_q=512, block_k=512, interpret=False):
+                                             "interpret", "compute_dtype"))
+def _flash_forward(q, k, v, block_q=512, block_k=512, interpret=False,
+                   compute_dtype=jnp.float32):
     """Returns (out (B,H,Tq,D), lse (B·H, Tq_pad, 128) row-broadcast)."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -231,7 +244,7 @@ def _flash_forward(q, k, v, block_q=512, block_k=512, interpret=False):
 
     grid = (B * H, tq_pad // block_q, tk_pad // block_k)
     kernel = functools.partial(_fwd_kernel, block_k=block_k, kv_len=Tk,
-                               scale=scale)
+                               scale=scale, compute_dtype=compute_dtype)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -259,9 +272,9 @@ def _flash_forward(q, k, v, block_q=512, block_k=512, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
-                                             "interpret"))
+                                             "interpret", "compute_dtype"))
 def _flash_backward(q, k, v, o, lse, g, block_q=512, block_k=512,
-                    interpret=False):
+                    interpret=False, compute_dtype=jnp.float32):
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, Tq, D = q.shape
@@ -287,7 +300,7 @@ def _flash_backward(q, k, v, o, lse, g, block_q=512, block_k=512,
     bh = B * H
     dkv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_k=block_k, kv_len=Tk,
-                          scale=scale),
+                          scale=scale, compute_dtype=compute_dtype),
         grid=(bh, tk_pad // block_k, tq_pad // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda b, j, i: (b, i, 0)),
@@ -315,7 +328,7 @@ def _flash_backward(q, k, v, o, lse, g, block_q=512, block_k=512,
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, kv_len=Tk,
-                          scale=scale),
+                          scale=scale, compute_dtype=compute_dtype),
         grid=(bh, tq_pad // block_q, tk_pad // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
@@ -339,7 +352,7 @@ def _flash_backward(q, k, v, o, lse, g, block_q=512, block_k=512,
         dv, Tk, v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(
     q: jnp.ndarray,  # (B, H, Tq, D)
     k: jnp.ndarray,  # (B, H, Tk, D)
@@ -347,33 +360,47 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Blockwise fused attention. Non-causal, full bidirectional (the only
     masking the reference models use is none — queries attend everywhere).
 
     Differentiable via custom VJP: both directions are blockwise Pallas
-    kernels; nothing of size (Tq, Tk) is materialized in either pass."""
-    out, _ = _flash_forward(q, k, v, block_q, block_k, interpret)
+    kernels; nothing of size (Tq, Tk) is materialized in either pass.
+
+    ``compute_dtype=jnp.bfloat16`` feeds the per-tile MXU matmuls bf16
+    operands (f32 accumulation, f32 online softmax/rescaling throughout) —
+    the v5e MXU runs bf16 at ~2× its f32 rate, so this trades ≲1e-2
+    per-element error for throughput on long sequences. The softmax
+    statistics (m, l, lse, Δ) and the dP/dS elementwise algebra stay f32
+    in every path, so the precision loss is confined to the matmul inputs."""
+    out, _ = _flash_forward(q, k, v, block_q, block_k, interpret,
+                            compute_dtype)
     return out
 
 
-def _flash_fwd_rule(q, k, v, block_q, block_k, interpret):
-    out, lse = _flash_forward(q, k, v, block_q, block_k, interpret)
+def _flash_fwd_rule(q, k, v, block_q, block_k, interpret, compute_dtype):
+    out, lse = _flash_forward(q, k, v, block_q, block_k, interpret,
+                              compute_dtype)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd_rule(block_q, block_k, interpret, residuals, g):
+def _flash_bwd_rule(block_q, block_k, interpret, compute_dtype, residuals,
+                    g):
     q, k, v, o, lse = residuals
-    return _flash_backward(q, k, v, o, lse, g, block_q, block_k, interpret)
+    return _flash_backward(q, k, v, o, lse, g, block_q, block_k, interpret,
+                           compute_dtype)
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def attention(q, k, v, min_flash_len: int = 256,
-              interpret: bool = False) -> jnp.ndarray:
+              interpret: bool = False,
+              compute_dtype=jnp.float32) -> jnp.ndarray:
     """Dispatch: einsum path for short sequences (the reference regime),
     flash kernel once the K/V length justifies blockwise streaming."""
     if q.shape[2] < min_flash_len and k.shape[2] < min_flash_len:
         return reference_attention(q, k, v)
-    return flash_attention(q, k, v, interpret=interpret)
+    return flash_attention(q, k, v, interpret=interpret,
+                           compute_dtype=compute_dtype)

@@ -50,6 +50,32 @@ def test_flash_gradients_flow():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_flash_bf16_compute_forward_and_backward():
+    """compute_dtype=bfloat16 feeds the MXU bf16 tiles but keeps f32
+    accumulation + f32 softmax statistics: outputs and all three grads must
+    track the f32 oracle within bf16 input-rounding error (~8e-3 relative
+    on unit-scale operands), not bf16 OUTPUT error (~1e-1 if accumulation
+    were bf16 too — that regression is exactly what the tolerance pins)."""
+    key = jax.random.key(7)
+    B, H, tq, tk, d = 2, 2, 200, 333, 64
+    q = jax.random.normal(key, (B, H, tq, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, tk, d))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, tk, d))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (B, H, tq, d))
+
+    out_bf, vjp_bf = jax.vjp(
+        lambda q, k, v: flash_attention(
+            q, k, v, interpret=True, compute_dtype=jnp.bfloat16), q, k, v)
+    out_ref, vjp_ref = jax.vjp(reference_attention, q, k, v)
+    assert out_bf.dtype == jnp.float32  # I/O dtype is unchanged
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(out_ref),
+                               rtol=2e-2, atol=2e-2)
+    for got, want, name in zip(vjp_bf(g), vjp_ref(g), "qkv"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-2, atol=5e-2,
+                                   err_msg=f"d{name} mismatch")
+
+
 @pytest.mark.parametrize("tq,tk,d", [(200, 333, 32), (64, 300, 128)])
 def test_flash_backward_kernel_parity(tq, tk, d):
     """The blockwise backward kernels (dq, dk, dv) must match the einsum
