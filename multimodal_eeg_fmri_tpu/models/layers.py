@@ -96,7 +96,7 @@ class MultiHeadAttention(nn.Module):
     seq_axis: str = "seq"
     head_axis: Optional[str] = None
     ring_size: Optional[int] = None
-    # MXU input dtype for the flash kernel's per-tile matmuls (f32
+    # MXU input dtype for the flash/ring kernels' per-tile matmuls (f32
     # accumulation + f32 softmax statistics regardless). bfloat16 runs the
     # v5e MXU at ~2× the f32 rate — the long-sequence throughput knob.
     flash_compute_dtype: jnp.dtype = jnp.float32
@@ -157,6 +157,7 @@ class MultiHeadAttention(nn.Module):
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), axis_name=self.seq_axis,
                 axis_size=self.ring_size,
+                compute_dtype=self.flash_compute_dtype,
             ).transpose(0, 2, 1, 3)
             mean_probs = None
         elif impl == "ring":
@@ -170,6 +171,7 @@ class MultiHeadAttention(nn.Module):
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), mesh=self.mesh, axis=self.seq_axis,
                 head_axis=self.head_axis,
+                compute_dtype=self.flash_compute_dtype,
             ).transpose(0, 2, 1, 3)
             mean_probs = None
         elif impl == "flash":

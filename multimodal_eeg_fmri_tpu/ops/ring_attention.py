@@ -35,19 +35,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 SEQ_AXIS = "data"  # default: reuse the mesh's data axis for sp serving
 
 
-def _chunk_scores(q, k, v, scale):
+def _chunk_scores(q, k, v, scale, compute_dtype=jnp.float32):
     """Unnormalized blockwise attention of local q vs one K/V chunk.
-    Returns (o_unnorm (B,H,Tq,D), m (B,H,Tq), l (B,H,Tq)) in f32."""
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    Returns (o_unnorm (B,H,Tq,D), m (B,H,Tq), l (B,H,Tq)) in f32.
+
+    ``compute_dtype`` sets the MXU input dtype of the two einsums (f32
+    accumulation via ``preferred_element_type`` regardless); the online
+    softmax statistics stay f32 — same contract as the flash kernel's
+    ``compute_dtype`` (ops/attention.py)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(compute_dtype),
+                   k.astype(compute_dtype),
+                   preferred_element_type=jnp.float32) * scale
     m = jnp.max(s, axis=-1)
     p = jnp.exp(s - m[..., None])
     l = jnp.sum(p, axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(compute_dtype),
+                   v.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
     return o, m, l
 
 
 def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
-                         scale: Optional[float] = None):
+                         scale: Optional[float] = None,
+                         compute_dtype=jnp.float32):
     """The per-device body (call inside ``shard_map``).
 
     q, k, v: (B, H, T_local, D) — this device's chunk of the T-sharded
@@ -56,7 +66,7 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     B, H, Tq, D = q.shape
-    qf = q.astype(jnp.float32)
+    qf = q
 
     from multimodal_eeg_fmri_tpu.parallel.collectives import ppermute_shift
 
@@ -66,7 +76,7 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
 
     def body(carry, _):
         k_c, v_c, m, l, acc = carry
-        o_c, m_c, l_c = _chunk_scores(qf, k_c, v_c, scale)
+        o_c, m_c, l_c = _chunk_scores(qf, k_c, v_c, scale, compute_dtype)
         m_new = jnp.maximum(m, m_c)
         alpha = jnp.exp(m - m_new)
         beta = jnp.exp(m_c - m_new)
@@ -81,7 +91,8 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
 
 
 def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS,
-                   head_axis: Optional[str] = None):
+                   head_axis: Optional[str] = None,
+                   compute_dtype=jnp.float32):
     """Sequence-parallel attention: (B, H, T, D) with T sharded over
     ``mesh`` axis ``axis``. Returns the same-sharded output. T must divide
     the axis size. Differentiable end-to-end.
@@ -100,7 +111,8 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS,
             f"{mesh.shape[head_axis]}")
     spec = P(None, head_axis, axis, None)
     fn = jax.shard_map(
-        partial(ring_attention_local, axis_name=axis, axis_size=n),
+        partial(ring_attention_local, axis_name=axis, axis_size=n,
+                compute_dtype=compute_dtype),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
     )

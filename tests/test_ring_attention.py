@@ -61,6 +61,37 @@ def test_ring_backward_matches_reference():
 
 
 @needs8
+def test_ring_bf16_compute_forward_and_backward():
+    """compute_dtype=bfloat16 (same contract as the flash kernel: bf16 MXU
+    inputs, f32 accumulation + f32 online-softmax statistics) must track
+    the f32 oracle within bf16 input-rounding error on unit-scale
+    operands — forward and all three gradients."""
+    mesh = _mesh()
+    q, k, v = _qkv(T=64)
+    ref = reference_attention(q, k, v)
+    qs, ks, vs = (shard_sequence(x, mesh) for x in (q, k, v))
+    got = jax.jit(lambda a, b, c: ring_attention(
+        a, b, c, mesh, compute_dtype=jnp.bfloat16))(qs, ks, vs)
+    assert got.dtype == jnp.float32  # I/O dtype unchanged
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention(
+            q, k, v, mesh, compute_dtype=jnp.bfloat16) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(qs, ks, vs)
+    for gr, gg, name in zip(g_ref, g_ring, "qkv"):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   atol=8e-2, rtol=8e-2,
+                                   err_msg=f"d{name} mismatch")
+
+
+@needs8
 def test_ring_rejects_indivisible_t():
     mesh = _mesh()
     q, k, v = _qkv(T=30)
