@@ -100,6 +100,10 @@ class MultiHeadAttention(nn.Module):
     # accumulation + f32 softmax statistics regardless). bfloat16 runs the
     # v5e MXU at ~2× the f32 rate — the long-sequence throughput knob.
     flash_compute_dtype: jnp.dtype = jnp.float32
+    # Per-hop chunk attention inside the ring paths: "einsum" (default,
+    # (T/n)² score tiles) or "flash" (Pallas kernel per hop, O(block) VMEM
+    # even when T/n is itself long — ring × flash).
+    ring_chunk_impl: str = "einsum"
 
     @nn.compact
     def __call__(
@@ -158,6 +162,7 @@ class MultiHeadAttention(nn.Module):
                 v.transpose(0, 2, 1, 3), axis_name=self.seq_axis,
                 axis_size=self.ring_size,
                 compute_dtype=self.flash_compute_dtype,
+                impl=self.ring_chunk_impl,
             ).transpose(0, 2, 1, 3)
             mean_probs = None
         elif impl == "ring":
@@ -172,6 +177,7 @@ class MultiHeadAttention(nn.Module):
                 v.transpose(0, 2, 1, 3), mesh=self.mesh, axis=self.seq_axis,
                 head_axis=self.head_axis,
                 compute_dtype=self.flash_compute_dtype,
+                impl=self.ring_chunk_impl,
             ).transpose(0, 2, 1, 3)
             mean_probs = None
         elif impl == "flash":
@@ -228,6 +234,7 @@ class TransformerBlock(nn.Module):
     moe_aux_weight: float = 0.01
     expert_axis: Optional[str] = None
     flash_compute_dtype: jnp.dtype = jnp.float32
+    ring_chunk_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -241,6 +248,7 @@ class TransformerBlock(nn.Module):
             mesh=self.mesh, seq_axis=self.seq_axis, head_axis=self.head_axis,
             ring_size=self.ring_size,
             flash_compute_dtype=self.flash_compute_dtype,
+            ring_chunk_impl=self.ring_chunk_impl,
             name="attn",
         )(y, y, y, train=train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(y)

@@ -57,9 +57,12 @@ class LongContextClassifier(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 1
     expert_axis: Optional[str] = None
-    # MXU input dtype for the flash kernel (f32 accumulation regardless);
-    # bfloat16 doubles per-tile matmul throughput on v5e at long T
+    # MXU input dtype for the flash/ring kernels (f32 accumulation
+    # regardless); bfloat16 doubles per-tile matmul throughput on v5e at
+    # long T
     flash_compute_dtype: jnp.dtype = jnp.float32
+    # Per-hop chunk attention inside the ring paths ("einsum" | "flash")
+    ring_chunk_impl: str = "einsum"
     # Rematerialize each block's activations in the backward pass
     # (jax.checkpoint via nn.remat): live activation memory drops from
     # O(num_layers · T · d) to O(T · d) + per-block recompute — the
@@ -96,6 +99,7 @@ class LongContextClassifier(nn.Module):
                 num_experts=self.num_experts, moe_top_k=self.moe_top_k,
                 expert_axis=self.expert_axis,
                 flash_compute_dtype=self.flash_compute_dtype,
+                ring_chunk_impl=self.ring_chunk_impl,
                 name=f"block_{i}",
             )(x, train)
         x = nn.LayerNorm(epsilon=1e-5, name="final_ln")(x)

@@ -274,7 +274,13 @@ def _flash_forward(q, k, v, block_q=512, block_k=512, interpret=False,
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
                                              "interpret", "compute_dtype"))
 def _flash_backward(q, k, v, o, lse, g, block_q=512, block_k=512,
-                    interpret=False, compute_dtype=jnp.float32):
+                    interpret=False, compute_dtype=jnp.float32,
+                    g_lse=None):
+    """``g_lse`` (B, H, Tq), if given, is the cotangent of the per-row
+    logsumexp (``flash_attention_lse``). ∂lse_r/∂s_rc = p_rc, so the lse
+    contribution to dS is ``+ p ⊙ g_lse`` — algebraically identical to
+    replacing Δ with Δ − g_lse in ``dS = P ⊙ (dP − Δ)``. Folding it here
+    means the backward kernels need no changes at all."""
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, Tq, D = q.shape
@@ -295,6 +301,10 @@ def _flash_backward(q, k, v, o, lse, g, block_q=512, block_k=512,
                     * jnp.pad(o, ((0, 0), (0, 0), (0, tq_pad - Tq),
                                   (0, 0))),
                     axis=-1).reshape(B * H, tq_pad)
+    if g_lse is not None:
+        delta = delta - jnp.pad(
+            g_lse.astype(jnp.float32), ((0, 0), (0, 0), (0, tq_pad - Tq))
+        ).reshape(B * H, tq_pad)
     delta = jnp.broadcast_to(delta[..., None], (B * H, tq_pad, 128))
 
     bh = B * H
@@ -393,6 +403,55 @@ def _flash_bwd_rule(block_q, block_k, interpret, compute_dtype, residuals,
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _unpad_lse(lse, B, H, Tq):
+    """(B·H, tq_pad, 128) row-broadcast → (B, H, Tq)."""
+    return lse.reshape(B, H, -1, 128)[:, :, :Tq, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_lse(
+    q: jnp.ndarray,  # (B, H, Tq, D)
+    k: jnp.ndarray,  # (B, H, Tk, D)
+    v: jnp.ndarray,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """``flash_attention`` that also returns the per-row logsumexp
+    (B, H, Tq) in f32 — DIFFERENTIABLE in both outputs, which is what a
+    blockwise/distributed caller needs to merge partial attention results
+    (two chunks combine exactly via ``logaddexp`` of their lse's and an
+    exp-weighted sum of their outputs; see ring_attention's flash path).
+
+    The lse cotangent costs nothing extra in the backward kernels:
+    ∂lse_r/∂s_rc = p_rc, so it folds into the existing Δ term
+    (``_flash_backward(g_lse=...)``)."""
+    out, lse = _flash_forward(q, k, v, block_q, block_k, interpret,
+                              compute_dtype)
+    B, H, Tq, _ = q.shape
+    return out, _unpad_lse(lse, B, H, Tq)
+
+
+def _flash_lse_fwd_rule(q, k, v, block_q, block_k, interpret,
+                        compute_dtype):
+    out, lse = _flash_forward(q, k, v, block_q, block_k, interpret,
+                              compute_dtype)
+    B, H, Tq, _ = q.shape
+    return (out, _unpad_lse(lse, B, H, Tq)), (q, k, v, out, lse)
+
+
+def _flash_lse_bwd_rule(block_q, block_k, interpret, compute_dtype,
+                        residuals, cotangents):
+    q, k, v, o, lse = residuals
+    g_out, g_lse = cotangents
+    return _flash_backward(q, k, v, o, lse, g_out, block_q, block_k,
+                           interpret, compute_dtype, g_lse=g_lse)
+
+
+flash_attention_lse.defvjp(_flash_lse_fwd_rule, _flash_lse_bwd_rule)
 
 
 def attention(q, k, v, min_flash_len: int = 256,

@@ -16,10 +16,13 @@ SURVEY §5); pattern follows the public ring-attention formulation
 (Liu et al. 2023) as idiomatic JAX: ``shard_map`` + ``ppermute`` + scan,
 fully differentiable (JAX transposes the ppermute/scan automatically).
 
-Per-chunk scores materialize (T_local, T_chunk) = (T/n)² per device — the
-O(T²) logits memory shrinks n² per chip while compute stays MXU einsums.
-For even longer T, the per-chunk computation can route through the Pallas
-flash kernel (ops/attention.py) unchanged — the merge identity is the same.
+Per-chunk attention has two implementations (``impl``): "einsum"
+materializes (T_local, T_chunk) = (T/n)² scores per device — the O(T²)
+logits memory shrinks n² per chip while compute stays MXU einsums — and
+"flash" routes each hop through the Pallas flash kernel
+(``flash_attention_lse``), merging hop results exactly via logaddexp of
+the per-row lse — O(block) VMEM at BOTH levels, for when even T/n is
+flash-scale.
 """
 
 from __future__ import annotations
@@ -57,11 +60,23 @@ def _chunk_scores(q, k, v, scale, compute_dtype=jnp.float32):
 
 def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
                          scale: Optional[float] = None,
-                         compute_dtype=jnp.float32):
+                         compute_dtype=jnp.float32,
+                         impl: str = "einsum",
+                         block_q: int = 512, block_k: int = 512,
+                         interpret: bool = False):
     """The per-device body (call inside ``shard_map``).
 
     q, k, v: (B, H, T_local, D) — this device's chunk of the T-sharded
     sequence. ``axis_size`` is the ring length (static, from the mesh).
+
+    ``impl`` selects the per-chunk attention:
+    - "einsum": materializes the (T_local, T_chunk) score tile per hop —
+      fine while (T/n)² fits (the default regime).
+    - "flash": routes each hop through the Pallas flash kernel
+      (``flash_attention_lse``) — O(block) VMEM per device, so T_local
+      itself can be flash-scale; hop results merge exactly via logaddexp
+      of the per-row lse's. This is ring × flash: the O(T²) memory is
+      gone at BOTH levels (across devices and within each device).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -69,6 +84,33 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
     qf = q
 
     from multimodal_eeg_fmri_tpu.parallel.collectives import ppermute_shift
+
+    if impl == "flash":
+        if abs(scale - 1.0 / math.sqrt(D)) > 1e-12:
+            raise ValueError(
+                "impl='flash' uses the kernel's fixed 1/sqrt(D) scale; "
+                "a custom scale requires impl='einsum'")
+        from multimodal_eeg_fmri_tpu.ops.attention import (
+            flash_attention_lse)
+
+        lse0 = jnp.full((B, H, Tq), -jnp.inf, jnp.float32)
+        acc0 = jnp.zeros((B, H, Tq, D), jnp.float32)
+
+        def body_flash(carry, _):
+            k_c, v_c, acc, lse_run = carry
+            o_c, lse_c = flash_attention_lse(
+                qf, k_c, v_c, block_q, block_k, interpret, compute_dtype)
+            # exact two-way online-softmax merge of normalized partials
+            lse_new = jnp.logaddexp(lse_run, lse_c)
+            acc = (acc * jnp.exp(lse_run - lse_new)[..., None]
+                   + o_c.astype(jnp.float32)
+                   * jnp.exp(lse_c - lse_new)[..., None])
+            k_c, v_c = ppermute_shift((k_c, v_c), axis_name)
+            return (k_c, v_c, acc, lse_new), None
+
+        (_, _, acc, _), _ = jax.lax.scan(
+            body_flash, (k, v, acc0, lse0), None, length=axis_size)
+        return acc.astype(q.dtype)
 
     m0 = jnp.full((B, H, Tq), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((B, H, Tq), jnp.float32)
@@ -92,7 +134,10 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
 
 def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS,
                    head_axis: Optional[str] = None,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32,
+                   impl: str = "einsum",
+                   block_q: int = 512, block_k: int = 512,
+                   interpret: bool = False):
     """Sequence-parallel attention: (B, H, T, D) with T sharded over
     ``mesh`` axis ``axis``. Returns the same-sharded output. T must divide
     the axis size. Differentiable end-to-end.
@@ -112,7 +157,8 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS,
     spec = P(None, head_axis, axis, None)
     fn = jax.shard_map(
         partial(ring_attention_local, axis_name=axis, axis_size=n,
-                compute_dtype=compute_dtype),
+                compute_dtype=compute_dtype, impl=impl,
+                block_q=block_q, block_k=block_k, interpret=interpret),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
     )

@@ -9,6 +9,7 @@ import pytest
 from multimodal_eeg_fmri_tpu.ops.attention import (
     attention,
     flash_attention,
+    flash_attention_lse,
     reference_attention,
 )
 
@@ -48,6 +49,48 @@ def test_flash_gradients_flow():
     g_ref = jax.grad(lambda q: jnp.sum(reference_attention(q, q, q) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_flash_lse_values_and_gradients():
+    """flash_attention_lse must return the exact per-row logsumexp of the
+    scaled scores AND be differentiable in BOTH outputs: a loss touching
+    out and lse must match the einsum/logsumexp oracle's gradients (the
+    lse cotangent folds into the backward's Δ term — this pins that
+    algebra)."""
+    key = jax.random.key(11)
+    B, H, tq, tk, d = 2, 2, 200, 333, 32
+    q = jax.random.normal(key, (B, H, tq, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, tk, d))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, tk, d))
+    scale = 1.0 / np.sqrt(d)
+
+    def oracle(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        lse = jax.scipy.special.logsumexp(s, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+        return out, lse
+
+    out_f, lse_f = flash_attention_lse(q, k, v, interpret=True)
+    out_o, lse_o = oracle(q, k, v)
+    assert lse_f.shape == (B, H, tq) and lse_f.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_o),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse_f), np.asarray(lse_o),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        def inner(q, k, v):
+            out, lse = fn(q, k, v)
+            return jnp.sum(out ** 2) + jnp.sum(jnp.sin(lse))
+        return inner
+
+    g_f = jax.grad(loss(lambda q, k, v: flash_attention_lse(
+        q, k, v, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+    g_o = jax.grad(loss(oracle), argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(g_f, g_o, "qkv"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"d{name} mismatch")
 
 
 def test_flash_bf16_compute_forward_and_backward():

@@ -92,6 +92,50 @@ def test_ring_bf16_compute_forward_and_backward():
 
 
 @needs8
+def test_ring_flash_chunks_forward_and_backward():
+    """impl='flash' routes each hop's chunk attention through the Pallas
+    kernel (flash_attention_lse) and merges hops via logaddexp of the
+    per-row lse — must equal full attention exactly, forward and backward
+    (the lse gradient path through the merge is what this pins).
+    T_local=32 < the 128 tile also exercises the kernel's internal
+    padding inside the ring."""
+    mesh = _mesh()
+    q, k, v = _qkv(T=256, seed=5)
+    ref = reference_attention(q, k, v)
+    qs, ks, vs = (shard_sequence(x, mesh) for x in (q, k, v))
+    run = jax.jit(lambda a, b, c: ring_attention(
+        a, b, c, mesh, impl="flash", interpret=True))
+    got = run(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention(
+            q, k, v, mesh, impl="flash", interpret=True) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(qs, ks, vs)
+    for gr, gg, name in zip(g_ref, g_ring, "qkv"):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"d{name} mismatch")
+
+
+@needs8
+def test_ring_flash_rejects_custom_scale():
+    mesh = _mesh()
+    q, k, v = _qkv(T=64)
+    from multimodal_eeg_fmri_tpu.ops.ring_attention import (
+        ring_attention_local)
+    with pytest.raises(ValueError, match="fixed 1/sqrt"):
+        ring_attention_local(q, k, v, axis_name="data", axis_size=8,
+                             scale=0.5, impl="flash")
+
+
+@needs8
 def test_ring_rejects_indivisible_t():
     mesh = _mesh()
     q, k, v = _qkv(T=30)
