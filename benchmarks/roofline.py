@@ -169,7 +169,7 @@ def analyze_train_step():
     return flops / 100, bytes_ / 100, ms
 
 
-def analyze_flash(t_len=8192, b=1, h=8, d=64, block=512, k_steps=8):
+def analyze_flash(t_len=8192, b=1, h=8, d=64, block=1024, k_steps=8):
     import jax
     import jax.numpy as jnp
 

@@ -223,7 +223,7 @@ def _pad_bh(x, t_pad, d_pad):
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
                                              "interpret", "compute_dtype"))
-def _flash_forward(q, k, v, block_q=512, block_k=512, interpret=False,
+def _flash_forward(q, k, v, block_q=1024, block_k=1024, interpret=False,
                    compute_dtype=jnp.float32):
     """Returns (out (B,H,Tq,D), lse (B·H, Tq_pad, 128) row-broadcast)."""
     from jax.experimental.pallas import tpu as pltpu
@@ -273,7 +273,7 @@ def _flash_forward(q, k, v, block_q=512, block_k=512, interpret=False,
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
                                              "interpret", "compute_dtype"))
-def _flash_backward(q, k, v, o, lse, g, block_q=512, block_k=512,
+def _flash_backward(q, k, v, o, lse, g, block_q=1024, block_k=1024,
                     interpret=False, compute_dtype=jnp.float32,
                     g_lse=None):
     """``g_lse`` (B, H, Tq), if given, is the cotangent of the per-row
@@ -367,8 +367,8 @@ def flash_attention(
     q: jnp.ndarray,  # (B, H, Tq, D)
     k: jnp.ndarray,  # (B, H, Tk, D)
     v: jnp.ndarray,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
@@ -415,8 +415,8 @@ def flash_attention_lse(
     q: jnp.ndarray,  # (B, H, Tq, D)
     k: jnp.ndarray,  # (B, H, Tk, D)
     v: jnp.ndarray,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
     compute_dtype=jnp.float32,
 ):

@@ -62,7 +62,7 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
                          scale: Optional[float] = None,
                          compute_dtype=jnp.float32,
                          impl: str = "einsum",
-                         block_q: int = 512, block_k: int = 512,
+                         block_q: int = 1024, block_k: int = 1024,
                          interpret: bool = False):
     """The per-device body (call inside ``shard_map``).
 
@@ -136,7 +136,7 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = SEQ_AXIS,
                    head_axis: Optional[str] = None,
                    compute_dtype=jnp.float32,
                    impl: str = "einsum",
-                   block_q: int = 512, block_k: int = 512,
+                   block_q: int = 1024, block_k: int = 1024,
                    interpret: bool = False):
     """Sequence-parallel attention: (B, H, T, D) with T sharded over
     ``mesh`` axis ``axis``. Returns the same-sharded output. T must divide
